@@ -1,0 +1,45 @@
+"""Pipeline configuration (SURVEY.md §2.10 — the pydantic-run-config analogue).
+
+The reference exposes run-tunable pydantic configs
+(reference userCode/lib/containers.py:28-52,103-116); we expose one
+dataclass covering batch sizes, actor-pool widths and paths, validated at
+job start (fail-fast like reference userCode/lib/env.py:28-34).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    #: html rows are wide — small batches through extraction
+    extract_batch_size: int = 1024
+    expand_batch_size: int = 4096
+    link_batch_size: int = 8192
+    rewrite_batch_size: int = 65536
+    #: actor-pool widths; autoscaling (min, max) so a small test cluster is
+    #: never deadlocked by a pool reserving every CPU (min stays 1, the
+    #: executor scales the pool up to max when CPUs are free)
+    link_concurrency: int | tuple[int, int] = (1, 8)
+    rewrite_concurrency: int | tuple[int, int] = (1, 4)
+    #: salt factor for hot-domain repartitioning (0 = off)
+    salt_factor: int = 0
+    #: drop owl:sameAs triples from the final graph after rewriting
+    drop_sameas: bool = True
+    #: staging dir for the mid-pipeline triple checkpoint; None → keep the
+    #: intermediate in the object store via materialize() (single-node /
+    #: small runs); a path → write_parquet + read back (resumable, 100-TB path)
+    staging_dir: str | None = None
+    #: final output partition column
+    partition_col: str = "pred"
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> "PipelineConfig":
+        for name in ("extract_batch_size", "expand_batch_size", "link_batch_size"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+        if self.staging_dir is not None:
+            os.makedirs(self.staging_dir, exist_ok=True)
+        return self

@@ -1,0 +1,240 @@
+"""Deterministic synthetic web-page corpus (pages / registry / sources).
+
+The engine's primary input is a Common-Crawl-style Parquet table
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)`` (BASELINE.json ``input_hint``).  The driver's testdata does
+not ship such a table, so this module derives one *deterministically* from
+``documents.parquet`` — every byte of every page is a pure function of
+``(doc_id, source, n_chars, text)`` — which lets the DuckDB oracle SQL in
+``__ray_entry__`` reconstruct extraction output and golden triples with
+plain string concatenation over the ``documents`` view.
+
+Shape of the embedded JSON-LD mirrors the Geoconnex feature documents whose
+triples the reference asserts (reference: userCode/defs_test.py:75-80,
+104-130; payload shape documented in FIXTURES.md §2):
+
+* ``doc_id % 17 == 0``  → page has NO ld+json block (null extraction).
+* ``doc_id % 19 == 0``  → malformed JSON block (extraction succeeds
+  byte-identically, parsing yields zero triples; counted as an error row —
+  the analogue of the reference's non-fatal exit-3 harvest failures,
+  userCode/lib/utils.py:89-97).
+* ``doc_id % 2 == 1``   → case A: ``@id`` is already the canonical PID.
+* ``doc_id % 10 == 0``  → case C: two-node ``@graph`` forming a 2-hop
+  owl:sameAs chain  alias → provider → PID (union-find must close it).
+* other even doc_ids    → case B: ``@id`` is a provider URI with a 1-hop
+  ``owl:sameAs`` to the PID.
+
+All html/JSON text is pure ASCII so byte lengths equal character counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PID_PREFIX = "https://pids.geoconnex.dev/"
+PROV_PREFIX = "https://provider.example/"
+ALIAS_PREFIX = "https://mirror.example/"
+MAINSTEM_PREFIX = "https://reference.geoconnex.us/collections/mainstems/items/"
+
+# A skewed domain map: two "hot" domains hold most sources, mirroring the
+# USGS/NOAA skew called out in BASELINE.json north_star.
+HOT_DOMAINS = ("waterdata.usgs.gov", "water.noaa.gov")
+
+#: replication stride for bench-scale amplification; replica r of doc d has
+#: virtual doc_id = d + r * AMPLIFY_STRIDE (keeps ids disjoint and rules
+#: deterministic).
+AMPLIFY_STRIDE = 1_000_000
+
+MALFORMED_JSON = '{"@id": "broken", "schema:name": "unterminated'
+
+
+def domain_for_source(source: str) -> str:
+    """Deterministic source→domain map with 2 hot domains (~60% of sources)."""
+    n = int(source[3:]) if source.startswith("src") and source[3:].isdigit() else 0
+    if n % 10 < 4:
+        return HOT_DOMAINS[0]
+    if n % 10 < 6:
+        return HOT_DOMAINS[1]
+    return f"data.{source}.example.org"
+
+
+def _vec(df: pd.DataFrame) -> dict[str, pd.Series]:
+    """Vectorized building blocks shared by page/registry generation."""
+    did = df["doc_id"].astype("int64")
+    d = did.astype(str)
+    src = df["source"].astype(str)
+    pid = PID_PREFIX + src + "/" + d
+    prov = PROV_PREFIX + src + "/" + d
+    alias = ALIAS_PREFIX + src + "/" + d
+    lat = ((did * 37) % 180000 - 90000).astype(str)
+    lon = ((did * 53) % 360000 - 180000).astype(str)
+    name = "Feature " + d
+    desc = "Document " + d + " in " + src + " with " + df["n_chars"].astype(str) + " chars"
+    mainstem = MAINSTEM_PREFIX + ((did * 7) % 50000).astype(str)
+    return {
+        "doc_id": did,
+        "d": d,
+        "src": src,
+        "pid": pid,
+        "prov": prov,
+        "alias": alias,
+        "lat": lat,
+        "lon": lon,
+        "name": name,
+        "desc": desc,
+        "mainstem": mainstem,
+    }
+
+
+def _node(subj: pd.Series, v: dict[str, pd.Series], same_as: pd.Series | None) -> pd.Series:
+    body = (
+        '{"@id":"' + subj + '","@type":"hyf:HY_HydroLocation"'
+        ',"schema:name":"' + v["name"] + '"'
+        ',"schema:description":"' + v["desc"] + '"'
+        ',"schema:geo":{"schema:latitude":' + v["lat"]
+        + ',"schema:longitude":' + v["lon"] + "}"
+    )
+    if same_as is not None:
+        body = body + ',"owl:sameAs":"' + same_as + '"'
+    return body + "}"
+
+
+def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
+    """The exact ld+json payload per document (None → no block).
+
+    This is THE conformance function: the extraction stage must reproduce
+    these bytes per url (per-row invariant in BASELINE.json input_hint).
+    """
+    v = _vec(df)
+    did = v["doc_id"]
+    case_a = _node(v["pid"], v, None)
+    case_b = _node(v["prov"], v, v["pid"])
+    chain_edge = '{"@id":"' + v["prov"] + '","owl:sameAs":"' + v["pid"] + '"}'
+    case_c = '{"@graph":[' + _node(v["alias"], v, v["prov"]) + "," + chain_edge + "]}"
+
+    out = case_a.where(did % 2 == 1, case_b)
+    out = out.where(did % 10 != 0, case_c)
+    out = out.where(did % 19 != 0, MALFORMED_JSON)
+    out = out.mask(did % 17 == 0, None)
+    return out
+
+
+def pages_from_documents(df: pd.DataFrame) -> pd.DataFrame:
+    """documents rows → pages rows (url, warc_ts, html, text, lang)."""
+    v = _vec(df)
+    url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
+    payload = jsonld_for_documents(df)
+    script = ('<script type="application/ld+json">' + payload + "</script>").fillna("")
+    html = (
+        "<html><head><title>Feature " + v["d"] + "</title>"
+        + script
+        + "</head><body><p>" + df["text"].astype(str) + "</p></body></html>"
+    )
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(v["doc_id"] % AMPLIFY_STRIDE, unit="s")
+    return pd.DataFrame(
+        {
+            "url": url,
+            "warc_ts": ts.astype("datetime64[us]"),
+            "html": html.str.encode("utf-8"),
+            "text": df["text"].astype(str),
+            "lang": df["lang"].astype(str),
+        }
+    )
+
+
+def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
+    """The PID registry / entity-link target table (FIXTURES.md §3).
+
+    Broadcast small side of J1/J2 (reference's mainstem hydrofabric +
+    pids.geoconnex.dev registry, userCode/assetGroups/config.py:34-82).
+    ``mainstem_uri`` is the flattened stand-in for the FlatGeobuf spatial
+    join; present iff doc_id % 3 == 0.
+    """
+    v = _vec(df)
+    did = v["doc_id"]
+    xmin = (did * 37 % 180000 - 90000) / 1000.0
+    ymin = (did * 53 % 360000 - 180000) / 1000.0
+    return pd.DataFrame(
+        {
+            "id": v["pid"],
+            "geoconnex_sitemap": v["src"],
+            "feature_name": v["name"],
+            "feature_description": v["desc"],
+            "bbox_xmin": xmin,
+            "bbox_ymin": ymin,
+            "bbox_xmax": xmin + 0.01,
+            "bbox_ymax": ymin + 0.01,
+            "mainstem_uri": v["mainstem"].where(did % 3 == 0, None),
+        }
+    )
+
+
+def sources_config(sources: pd.Series) -> pd.DataFrame:
+    """Per-source crawl hints (mirrors sitemap-index metadata, reference
+    userCode/assetGroups/testdata/sitemap.xml:12-13).
+
+    ``add_associated_mainstems`` is False for src3, src7, src11, ... —
+    i.e. sources whose numeric suffix % 4 == 3 — gating the linker stage.
+    """
+    uniq = sorted(set(sources.astype(str)))
+    nums = [int(s[3:]) if s.startswith("src") and s[3:].isdigit() else 0 for s in uniq]
+    return pd.DataFrame(
+        {
+            "source_id": uniq,
+            "max_request_concurrency": [1 + (n % 4) for n in nums],
+            "add_associated_mainstems": [n % 4 != 3 for n in nums],
+        }
+    )
+
+
+def amplify_documents(df: pd.DataFrame, factor: int) -> pd.DataFrame:
+    """Replicate the documents table ``factor``× with disjoint doc_ids.
+
+    Replica r gets doc_id += r * AMPLIFY_STRIDE, so every derivation rule
+    stays deterministic and the corpus keeps the same source skew.
+    """
+    if factor <= 1:
+        return df
+    parts = []
+    for r in range(factor):
+        p = df.copy()
+        p["doc_id"] = p["doc_id"] + r * AMPLIFY_STRIDE
+        parts.append(p)
+    return pd.concat(parts, ignore_index=True)
+
+
+def fixture_dir(sf_dir: str, amplify: int = 1) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/scheduler_ray_fixtures/{tag}_x{amplify}"
+
+
+def ensure_pages_fixture(sf_dir: str, amplify: int = 1, rows_per_file: int = 50_000) -> str:
+    """Generate (once, cached) pages/registry/sources parquet for sf_dir.
+
+    Returns the fixture directory containing ``pages/`` (a directory of
+    parquet shards so Ray reads in parallel), ``registry.parquet`` and
+    ``sources.parquet``.  Deterministic: same inputs → same bytes.
+    """
+    out = fixture_dir(sf_dir, amplify)
+    done = os.path.join(out, "_COMPLETE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(os.path.join(out, "pages"), exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    docs = amplify_documents(docs, amplify)
+    registry = registry_from_documents(docs)
+    registry.to_parquet(os.path.join(out, "registry.parquet"), index=False)
+    sources_config(docs["source"]).to_parquet(os.path.join(out, "sources.parquet"), index=False)
+    for i, lo in enumerate(range(0, len(docs), rows_per_file)):
+        chunk = pages_from_documents(docs.iloc[lo : lo + rows_per_file])
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        tbl = tbl.replace_schema_metadata(None)  # pandas metadata breaks Ray's schema dedup
+        pq.write_table(tbl, os.path.join(out, "pages", f"part-{i:05d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

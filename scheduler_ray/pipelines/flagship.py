@@ -1,0 +1,118 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.4).
+
+One Ray Data program replacing the reference's three Dagster jobs
+(setup_config → harvest → release → export, reference userCode/defs.py):
+
+    read_parquet(pages)
+      → extract_stage          (M1/M4: byte-identical JSON-LD per url)
+      → expand_stage           (M3: JSON-LD → (subj,pred,obj,lit,graph))
+      → link_stage             (J1/J2: actor pool, broadcast PID registry)
+      → [materialize or parquet-stage checkpoint]
+      → collect_sameas_mapping (D4: per-batch union-find combiner)
+      → canonicalize_stage     (A1: broadcast vectorized rewrite)
+      → local pre-dedup        (D5)
+      → sort(pred, subj)       (O4) → write_parquet(partition_cols=[pred])
+
+The triple stream is consumed twice (once to collect the sameAs edge
+summary, once to rewrite), so it is checkpointed between expansion and
+rewrite: in-object-store ``materialize()`` by default, or a parquet
+staging dir (``cfg.staging_dir``) which doubles as the resumable
+checkpoint at 100-TB scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..config import PipelineConfig
+from ..stages.canonicalize import canonicalize_stage, collect_sameas_mapping
+from ..stages.expand import expand_stage
+from ..stages.extract import extract_stage
+from ..stages.link import link_stage
+
+PAGE_COLUMNS = ["url", "html"]  # prune at the read: warc_ts/text/lang unused here
+
+
+def _local_dedup(batch: pa.Table) -> pa.Table:
+    """Within-batch exact-triple dedup (cheap combiner before/instead of a
+    global shuffle; duplicates within a document land in one batch)."""
+    df = batch.to_pandas()
+    df = df.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
+
+
+def raw_triples(
+    pages: Dataset,
+    registry: pd.DataFrame,
+    sources: pd.DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
+    """pages → linked (pre-canonicalization) triples."""
+    cfg = (cfg or PipelineConfig()).validate()
+    ex = extract_stage(pages, batch_size=cfg.extract_batch_size)
+    tri = expand_stage(ex, batch_size=cfg.expand_batch_size)
+    return link_stage(
+        tri,
+        registry,
+        sources,
+        concurrency=cfg.link_concurrency,
+        batch_size=cfg.link_batch_size,
+    )
+
+
+def canonical_triples(
+    pages: Dataset,
+    registry: pd.DataFrame,
+    sources: pd.DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
+    """pages → canonical deduped triples (unsorted; sort happens at write)."""
+    cfg = (cfg or PipelineConfig()).validate()
+    tri = raw_triples(pages, registry, sources, cfg)
+    if cfg.staging_dir:
+        tri.write_parquet(cfg.staging_dir)
+        tri = rd.read_parquet(cfg.staging_dir)
+    else:
+        tri = tri.materialize()
+    mapping = collect_sameas_mapping(tri)
+    canon = canonicalize_stage(
+        tri,
+        mapping,
+        drop_sameas=cfg.drop_sameas,
+        batch_size=cfg.rewrite_batch_size,
+        concurrency=cfg.rewrite_concurrency,
+    )
+    return canon.map_batches(_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_pages(fixture_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{fixture_dir}/pages", columns=columns or PAGE_COLUMNS)
+
+
+def load_side_tables(fixture_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    registry = pq.read_table(f"{fixture_dir}/registry.parquet").to_pandas()
+    sources = pq.read_table(f"{fixture_dir}/sources.parquet").to_pandas()
+    return registry, sources
+
+
+def run_flagship(
+    fixture_dir: str,
+    out_dir: str | None = None,
+    cfg: PipelineConfig | None = None,
+) -> Dataset:
+    """End-to-end: fixture dir → canonical triples (written if out_dir)."""
+    registry, sources = load_side_tables(fixture_dir)
+    pages = read_pages(fixture_dir)
+    canon = canonical_triples(pages, registry, sources, cfg)
+    if out_dir:
+        cfg = cfg or PipelineConfig()
+        canon.sort(["pred", "subj"]).write_parquet(
+            out_dir, partition_cols=[cfg.partition_col]
+        )
+        return rd.read_parquet(out_dir)
+    return canon

@@ -1,0 +1,60 @@
+"""Stage 1: JSON-LD extraction + source derivation (SURVEY.md M1/M4/S1).
+
+Semantics of the reference's `nabu harvest` summoner (contract at
+reference userCode/lib/containers.py:62-100, object layout docs/hdt.md:12-16):
+for each landing page, locate the embedded
+``<script type="application/ld+json">…</script>`` block and emit its raw
+bytes untouched — the per-row conformance invariant is byte-identical
+``extracted`` text per url.
+
+Ray-Data-first: a stateless ``map_batches`` over zero-copy Arrow batches.
+Both the block extraction and the source derivation are single
+``pyarrow.compute.extract_regex`` calls (RE2, vectorized — no Python row
+loop).  The wide ``html`` column is dropped immediately after extraction so
+downstream blocks stay narrow (SURVEY.md §7 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# (?s) so the block may span lines; non-greedy so only the first block's
+# content is captured byte-identically.
+_LDJSON_PATTERN = r'(?s)<script type="application/ld\+json">(?P<extracted>.*?)</script>'
+# url shape: https://{domain}/{source}/items/{id} — source is the first path
+# segment (sitemap-id analogue, reference userCode/assetGroups/config.py:124-141).
+_SOURCE_PATTERN = r"^https://[^/]+/(?P<source>[^/]+)/"
+
+
+def extract_jsonld_batch(batch: pa.Table) -> pa.Table:
+    """html:binary → extracted:string (null when no block) + source:string."""
+    html = pc.cast(batch["html"], pa.large_string())
+    extracted = pc.struct_field(pc.extract_regex(html, _LDJSON_PATTERN), "extracted")
+    source = pc.struct_field(pc.extract_regex(batch["url"], _SOURCE_PATTERN), "source")
+    out = batch.drop_columns(["html"])
+    out = out.append_column("source", source)
+    out = out.append_column("extracted", extracted)
+    return out
+
+
+def derive_source_batch(batch: pa.Table) -> pa.Table:
+    """url-only source derivation (S1/M4) for partition discovery."""
+    source = pc.struct_field(pc.extract_regex(batch["url"], _SOURCE_PATTERN), "source")
+    return batch.append_column("source", source)
+
+
+def extract_stage(pages: Dataset, *, batch_size: int = 1024) -> Dataset:
+    """pages(url, warc_ts, html, text, lang) → + (source, extracted) − html.
+
+    ``batch_size`` is small because html rows are wide; after this stage
+    blocks are narrow strings and downstream stages use larger batches.
+    """
+    return pages.map_batches(
+        extract_jsonld_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

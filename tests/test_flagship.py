@@ -1,0 +1,80 @@
+"""End-to-end flagship pipeline tests on the sf0.001 corpus.
+
+Mirrors the reference's golden-output e2e test shape
+(reference userCode/defs_test.py:34-130): run the full pipeline, assert
+exact triple membership and P/R ≥ 0.95 against the analytic golden set.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from scheduler_ray import oracles
+from scheduler_ray.pipelines import flagship
+
+
+def _golden(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con.sql(sql).df()
+
+
+def _key(df: pd.DataFrame) -> set[tuple]:
+    return set(zip(df["subj"], df["pred"], df["obj"]))
+
+
+def test_flagship_precision_recall(fixture_sf0001):
+    got = flagship.run_flagship(fixture_sf0001).to_pandas()
+    want = _golden("/root/testdata/sf0.001", oracles.CANONICAL_TRIPLES_SQL)
+    g, w = _key(got), _key(want)
+    tp = len(g & w)
+    precision = tp / max(1, len(g))
+    recall = tp / max(1, len(w))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # we actually hit exact parity on the synthetic corpus
+    assert g == w
+
+
+def test_flagship_golden_membership(fixture_sf0001):
+    """Exact-triple assertions à la the reference's dam→mainstem goldens."""
+    got = flagship.run_flagship(fixture_sf0001).to_pandas()
+    k = _key(got)
+    # doc 6 (src6): valid, %3==0, src6 enabled → linked mainstem 42
+    assert (
+        "https://pids.geoconnex.dev/src6/6",
+        "hyf:linearElement",
+        "https://reference.geoconnex.us/collections/mainstems/items/42",
+    ) in k
+    # doc 3 (src3): %3==0 but src3 gated off → no link triple
+    assert not any(
+        s == "https://pids.geoconnex.dev/src3/3" and p == "hyf:linearElement"
+        for s, p, _ in k
+    )
+    # 2-hop chain doc 10: alias/provider URIs fully canonicalized away
+    assert not any("mirror.example" in s or "provider.example" in s for s, _, _ in k)
+
+
+def test_sorted_partitioned_write(fixture_sf0001, tmp_out):
+    out = flagship.run_flagship(fixture_sf0001, out_dir=tmp_out)
+    df = out.to_pandas()
+    assert set(df.columns) >= {"subj", "obj", "obj_is_literal", "graph", "pred"}
+    assert len(df) == 2337
+
+
+def test_distributed_connected_components():
+    import ray.data as rd
+
+    edges = rd.from_items(
+        [
+            {"node": "a", "root": "b"},
+            {"node": "b", "root": "https://pids.geoconnex.dev/x/1"},
+            {"node": "c", "root": "d"},
+        ]
+    )
+    from scheduler_ray.stages.canonicalize import connected_components_distributed
+
+    labels = connected_components_distributed(edges).to_pandas()
+    lut = dict(zip(labels["node"], labels["label"]))
+    assert lut["a"] == lut["b"] == "https://pids.geoconnex.dev/x/1"
+    assert lut["c"] == lut["d"] == "c"

@@ -1,0 +1,157 @@
+"""Unit tests for the pure per-batch stage functions (no Ray needed)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from scheduler_ray.stages.canonicalize import (
+    CanonicalRewriter,
+    UnionFind,
+    sameas_edges_batch,
+)
+from scheduler_ray.stages.expand import TRIPLE_SCHEMA, expand_triples_batch
+from scheduler_ray.stages.extract import extract_jsonld_batch
+from scheduler_ray.stages.link import EntityLinker, RegistryIndex
+
+
+def _pages_batch(html_list, urls=None):
+    urls = urls or [f"https://h/{i}/items/{i}" for i in range(len(html_list))]
+    return pa.table(
+        {
+            "url": pa.array(urls),
+            "html": pa.array([h.encode() for h in html_list], pa.binary()),
+        }
+    )
+
+
+def test_extract_byte_identity_and_nulls():
+    payload = '{"@id":"x","a":1}'
+    b = _pages_batch(
+        [
+            f'<html><script type="application/ld+json">{payload}</script></html>',
+            "<html>no block</html>",
+            # two blocks: first one wins (non-greedy)
+            '<x><script type="application/ld+json">A</script>'
+            '<script type="application/ld+json">B</script></x>',
+        ],
+        urls=["https://d/s1/items/1", "https://d/s2/items/2", "https://d/s3/items/3"],
+    )
+    out = extract_jsonld_batch(b)
+    vals = out["extracted"].to_pylist()
+    assert vals == [payload, None, "A"]
+    assert out["source"].to_pylist() == ["s1", "s2", "s3"]
+    assert "html" not in out.column_names
+
+
+def test_extract_multiline_block():
+    payload = '{"@id":\n "x",\n "a":1}'
+    b = _pages_batch([f'<p><script type="application/ld+json">{payload}</script></p>'])
+    assert extract_jsonld_batch(b)["extracted"].to_pylist() == [payload]
+
+
+def _extracted_batch(pairs):
+    return pa.table(
+        {
+            "source": pa.array([s for s, _ in pairs]),
+            "extracted": pa.array([e for _, e in pairs], pa.large_string()),
+        }
+    )
+
+
+def test_expand_basic_nested_and_graph():
+    doc = (
+        '{"@id":"https://p/1","@type":"hyf:HY_HydroLocation","schema:name":"N",'
+        '"schema:geo":{"schema:latitude":5,"schema:longitude":-7},'
+        '"owl:sameAs":"https://q/1"}'
+    )
+    graph_doc = '{"@graph":[{"@id":"a","x":"1"},{"@id":"b","owl:sameAs":"https://c"}]}'
+    out = expand_triples_batch(
+        _extracted_batch([("s1", doc), ("s2", None), ("s2", "{bad"), ("s3", graph_doc)])
+    )
+    rows = set(zip(*[out[c].to_pylist() for c in ["subj", "pred", "obj", "obj_is_literal", "graph"]]))
+    assert ("https://p/1", "rdf:type", "hyf:HY_HydroLocation", False, "s1") in rows
+    assert ("https://p/1", "schema:name", "N", True, "s1") in rows
+    assert ("https://p/1", "schema:latitude", "5", True, "s1") in rows
+    assert ("https://p/1", "owl:sameAs", "https://q/1", False, "s1") in rows
+    assert ("a", "x", "1", True, "s3") in rows
+    assert ("b", "owl:sameAs", "https://c", False, "s3") in rows
+    assert len(rows) == 7  # type,name,lat,lon,sameAs from doc1 + 2 from @graph doc
+
+
+def test_expand_empty():
+    out = expand_triples_batch(_extracted_batch([("s", None)]))
+    assert out.num_rows == 0 and out.schema == TRIPLE_SCHEMA
+
+
+def test_union_find_chain():
+    uf = UnionFind()
+    uf.union("b", "c")
+    uf.union("a", "b")
+    assert uf.find("c") == uf.find("a") == uf.find("b")
+
+
+def test_sameas_combiner_and_rewriter():
+    t = pa.table(
+        {
+            "subj": pa.array(["alias", "prov", "alias", "keep"], pa.large_string()),
+            "pred": pa.array(["owl:sameAs", "owl:sameAs", "schema:name", "schema:name"], pa.large_string()),
+            "obj": pa.array(
+                ["prov", "https://pids.geoconnex.dev/x/1", "N", "M"], pa.large_string()
+            ),
+            "obj_is_literal": pa.array([False, False, True, True]),
+            "graph": pa.array(["g"] * 4, pa.large_string()),
+        }
+    )
+    edges = sameas_edges_batch(t)
+    assert edges.num_rows >= 2
+    mapping = {"alias": "https://pids.geoconnex.dev/x/1", "prov": "https://pids.geoconnex.dev/x/1"}
+    rw = CanonicalRewriter(mapping)
+    out = rw(t)
+    assert "owl:sameAs" not in out["pred"].to_pylist()
+    assert out["subj"].to_pylist() == ["https://pids.geoconnex.dev/x/1", "keep"]
+
+
+def test_registry_index_links_exact_name():
+    reg = pd.DataFrame(
+        {
+            "id": [f"https://pids.geoconnex.dev/s/{i}" for i in range(5)],
+            "feature_name": [f"Feature {i}" for i in range(5)],
+            "mainstem_uri": ["https://m/1", None, "https://m/3", None, "https://m/5"],
+        }
+    )
+    idx = RegistryIndex(reg)
+    pid, ms = idx.link("Feature 2")
+    assert pid == "https://pids.geoconnex.dev/s/2" and ms == "https://m/3"
+    pid, ms = idx.link("Unknown Thing")
+    assert pid is None
+
+
+def test_entity_linker_gating():
+    reg = pd.DataFrame(
+        {
+            "id": ["https://pids.geoconnex.dev/s/1"],
+            "feature_name": ["Feature 1"],
+            "mainstem_uri": ["https://m/9"],
+        }
+    )
+    srcs = pd.DataFrame({"source_id": ["on", "off"], "add_associated_mainstems": [True, False]})
+    linker = EntityLinker(reg, srcs)
+    batch = pa.table(
+        {
+            "subj": pa.array(["raw1", "raw2"], pa.large_string()),
+            "pred": pa.array(["schema:name", "schema:name"], pa.large_string()),
+            "obj": pa.array(["Feature 1", "Feature 1"], pa.large_string()),
+            "obj_is_literal": pa.array([True, True]),
+            "graph": pa.array(["on", "off"], pa.large_string()),
+        }
+    )
+    out = linker(batch)
+    links = [
+        (s, o)
+        for s, p, o in zip(
+            out["subj"].to_pylist(), out["pred"].to_pylist(), out["obj"].to_pylist()
+        )
+        if p == "hyf:linearElement"
+    ]
+    assert links == [("raw1", "https://m/9")]  # gated source emits nothing
