@@ -1,0 +1,143 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Headline: the flagship KG pipeline (extract → expand → link → canonicalize
+→ sorted partitioned parquet write) over an amplified synthetic page corpus
+derived from $GRAFT_SF_DIR/documents.parquet (default amplification 40× →
+~200k pages at sf0.1, with the same hot-domain skew as the 100-TB target).
+
+    python bench.py              # one timed run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                                 # same input → throughput + scaling efficiency
+
+Only this script owns the Ray session (ray.init/shutdown) per the driver
+contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "40"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scheduler_ray.corpus import ensure_pages_fixture
+    from scheduler_ray.pipelines import flagship
+
+    from scheduler_ray.config import PipelineConfig
+
+    cfg = PipelineConfig.for_cpus(NUM_CPUS)
+    fx = ensure_pages_fixture(SF_DIR, amplify=AMPLIFY)
+
+    # warm the OS page cache AND spin up the worker-process pool so the
+    # timed run measures compute+shuffle, not first disk read / cold start
+    import ray.data as rd
+
+    rd.read_parquet(f"{fx}/pages").count()
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    queries: dict[str, float] = {}
+    out_dir = f"/tmp/scheduler_ray_bench/out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    flagship.run_flagship(fx, out_dir=out_dir, cfg=cfg)
+    headline = time.time() - t0
+    queries["flagship_kg"] = round(headline, 3)
+
+    import pyarrow.dataset as pads
+
+    n_triples = pads.dataset(out_dir).count_rows()
+
+    # secondary per-stage timings (no write): extraction-only throughput
+    t0 = time.time()
+    from scheduler_ray.stages.extract import extract_stage
+
+    n_pages = extract_stage(flagship.read_pages(fx)).count()
+    queries["kg_extract"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_kg_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1),
+        "amplify": AMPLIFY,
+    }
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+        r_lo, r_hi = run_at(lo), run_at(hi)
+        tp_lo = r_lo["triples_per_sec"]
+        tp_hi = r_hi["triples_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"triples_per_sec_{lo}": tp_lo,
+                    f"triples_per_sec_{hi}": tp_hi,
+                    "sf": SF_DIR,
+                    "queries": {
+                        f"flagship_kg_{lo}": r_lo["value"],
+                        f"flagship_kg_{hi}": r_hi["value"],
+                    },
+                    "num_cpus": hi,
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,18 +14,41 @@ from dataclasses import dataclass, field
 
 @dataclass
 class PipelineConfig:
-    #: html rows are wide — small batches through extraction
-    extract_batch_size: int = 1024
+    #: html rows are wide but O(1 KB) here; at 100 TB (100 KB pages) drop
+    #: this to ~1024 so batch × concurrency fits worker heaps
+    extract_batch_size: int = 4096
     expand_batch_size: int = 4096
     link_batch_size: int = 8192
     rewrite_batch_size: int = 65536
     #: actor-pool widths; autoscaling (min, max) so a small test cluster is
     #: never deadlocked by a pool reserving every CPU (min stays 1, the
     #: executor scales the pool up to max when CPUs are free)
-    link_concurrency: int | tuple[int, int] = (1, 8)
-    rewrite_concurrency: int | tuple[int, int] = (1, 4)
+    #: NOTE: Ray Data fuses the upstream stateless extract/expand maps into
+    #: the linker's actor pool, so this pool's max bounds the whole hot
+    #: path's parallelism — size it near the cluster CPU count.
+    link_concurrency: int | tuple[int, int] = (1, 24)
+    rewrite_concurrency: int | tuple[int, int] = (1, 8)
+    #: physical mode for the stateful stages: False = stateless tasks with a
+    #: per-worker-process broadcast cache (elastic, no pool ramp — the
+    #: benchmarked default); True = classic map_batches actor pools
+    link_use_actors: bool = False
+    rewrite_use_actors: bool = False
+
+    @classmethod
+    def for_cpus(cls, num_cpus: int) -> "PipelineConfig":
+        return cls(
+            # min near half the CPUs: the fused extract→expand→link chain
+            # runs inside this pool, and a low floor leaves the cluster idle
+            # while the autoscaler ramps; max leaves headroom for read/write
+            link_concurrency=(max(2, num_cpus // 2), max(4, num_cpus * 7 // 8)),
+            rewrite_concurrency=(max(1, num_cpus // 8), max(2, num_cpus // 2)),
+        )
     #: salt factor for hot-domain repartitioning (0 = off)
     salt_factor: int = 0
+    #: block count for the canonicalize/sort tail — fixed (not CPU-derived)
+    #: so per-task fixed costs (broadcast hash-table builds) are identical
+    #: at every cluster size; raise proportionally with data volume
+    canonical_blocks: int = 24
     #: drop owl:sameAs triples from the final graph after rewriting
     drop_sameas: bool = True
     #: staging dir for the mid-pipeline triple checkpoint; None → keep the

@@ -30,7 +30,11 @@ import ray.data as rd
 from ray.data import Dataset
 
 from ..config import PipelineConfig
-from ..stages.canonicalize import canonicalize_stage, collect_sameas_mapping
+from ..stages.canonicalize import (
+    canonicalize_stage,
+    collect_sameas_arrays,
+    collect_sameas_mapping,  # noqa: F401 — re-exported for callers/tests
+)
 from ..stages.expand import expand_stage
 from ..stages.extract import extract_stage
 from ..stages.link import link_stage
@@ -51,6 +55,7 @@ def raw_triples(
     registry: pd.DataFrame,
     sources: pd.DataFrame,
     cfg: PipelineConfig | None = None,
+    index_cache_path: str | None = None,
 ) -> Dataset:
     """pages → linked (pre-canonicalization) triples."""
     cfg = (cfg or PipelineConfig()).validate()
@@ -62,6 +67,8 @@ def raw_triples(
         sources,
         concurrency=cfg.link_concurrency,
         batch_size=cfg.link_batch_size,
+        use_actors=cfg.link_use_actors,
+        index_cache_path=index_cache_path,
     )
 
 
@@ -70,24 +77,32 @@ def canonical_triples(
     registry: pd.DataFrame,
     sources: pd.DataFrame,
     cfg: PipelineConfig | None = None,
+    index_cache_path: str | None = None,
 ) -> Dataset:
     """pages → canonical deduped triples (unsorted; sort happens at write)."""
     cfg = (cfg or PipelineConfig()).validate()
-    tri = raw_triples(pages, registry, sources, cfg)
+    tri = raw_triples(pages, registry, sources, cfg, index_cache_path)
     if cfg.staging_dir:
         tri.write_parquet(cfg.staging_dir)
         tri = rd.read_parquet(cfg.staging_dir)
     else:
         tri = tri.materialize()
-    mapping = collect_sameas_mapping(tri)
-    canon = canonicalize_stage(
+    # coalesce the many small map-output blocks: the rewrite pays a fixed
+    # per-batch hash-table build over the broadcast mapping (pc.index_in),
+    # and the final sort pays per-block shuffle overhead — both want few,
+    # large, CLUSTER-SIZE-INDEPENDENT blocks so per-task fixed costs don't
+    # grow with parallelism
+    tri = tri.repartition(cfg.canonical_blocks)
+    mapping = collect_sameas_arrays(tri)
+    return canonicalize_stage(
         tri,
         mapping,
         drop_sameas=cfg.drop_sameas,
-        batch_size=cfg.rewrite_batch_size,
+        batch_size=None,  # whole-block batches: one hash-build per block
         concurrency=cfg.rewrite_concurrency,
+        use_actors=cfg.rewrite_use_actors,
+        local_dedup=True,
     )
-    return canon.map_batches(_local_dedup, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_pages(fixture_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -108,7 +123,10 @@ def run_flagship(
     """End-to-end: fixture dir → canonical triples (written if out_dir)."""
     registry, sources = load_side_tables(fixture_dir)
     pages = read_pages(fixture_dir)
-    canon = canonical_triples(pages, registry, sources, cfg)
+    canon = canonical_triples(
+        pages, registry, sources, cfg,
+        index_cache_path=f"{fixture_dir}/registry_index.pkl",
+    )
     if out_dir:
         cfg = cfg or PipelineConfig()
         canon.sort(["pred", "subj"]).write_parquet(

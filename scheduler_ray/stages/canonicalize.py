@@ -73,43 +73,196 @@ class UnionFind:
 
 
 def sameas_edges_batch(batch: pa.Table) -> pa.Table:
-    """Compress one batch of triples to (node, root) partial-UF pairs."""
+    """Compress one batch of triples to (node, root) pairs.
+
+    Each batch union-finds its own edges and emits node → *canonical*
+    (PID-preferring, deterministic) pairs.  Because a document's sameAs
+    edges are emitted adjacently by the expansion stage, within-batch
+    closure resolves nearly every cluster — the driver-side merge then
+    only deduplicates identical pairs and pointer-jumps the rare
+    cross-batch chain (see collect_sameas_arrays).
+    """
     mask = pc.equal(batch["pred"], SAME_AS)
     edges = batch.filter(mask)
     uf = UnionFind()
     for s, o in zip(edges["subj"].to_pylist(), edges["obj"].to_pylist()):
         uf.union(s, o)
-    nodes, roots = [], []
+    clusters: dict[str, list[str]] = {}
     for n, r in uf.items():
-        nodes.append(n)
-        roots.append(r)
+        clusters.setdefault(r, []).append(n)
+    nodes, roots = [], []
+    for root, members in clusters.items():
+        all_members = members if root in members else members + [root]
+        canon = None
+        for m in all_members:
+            if m.startswith(PID_PREFIX) and (canon is None or m < canon):
+                canon = m
+        if canon is None:
+            canon = min(all_members)
+        for m in all_members:
+            if m != canon:
+                nodes.append(m)
+                roots.append(canon)
     return pa.table(
         {"node": pa.array(nodes, pa.large_string()), "root": pa.array(roots, pa.large_string())}
     )
 
 
-def collect_sameas_mapping(triples: Dataset) -> dict[str, str]:
-    """Edges → alias→canonical dict (driver-side merge of partial UFs)."""
+def _merge_pairs_vectorized(nodes, roots, max_iters: int = 16):
+    """Driver-side CC merge over compressed (node, root) pairs — integer
+    min-label propagation with pointer jumping (numpy, no per-edge Python
+    loop; O(E · α) in practice because alias chains are shallow).
+
+    Canonical representative = cluster minimum under a sort key that ranks
+    Geoconnex PIDs first ('0'+pid < '1'+other), matching the reference's
+    PID-canonical convention (userCode/defs_test.py:121-126).
+    """
+    import numpy as np
+    import pandas as pd
+
+    canon_idx, uniq = _merge_pairs_idx(nodes, roots, max_iters)
+    changed = np.flatnonzero(canon_idx != np.arange(len(uniq)))
+    return {uniq[i]: uniq[canon_idx[i]] for i in changed}
+
+
+def _merge_pairs_idx(nodes, roots, max_iters: int = 16):
+    import numpy as np
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.concatenate([nodes, roots]))
+    n_edges = len(nodes)
+    a, b = codes[:n_edges], codes[n_edges:]
+    not_pid = ~pd.Series(uniq).str.startswith(PID_PREFIX).to_numpy()
+    # rank PIDs first; ties broken by a stable 64-bit content hash — a
+    # deterministic (cross-process) choice that avoids sorting millions of
+    # URI strings lexicographically on the driver
+    h = pd.util.hash_array(uniq.astype(object))
+    order = np.lexsort((h, not_pid))
+    pri = np.empty(len(uniq), np.int64)
+    pri[order] = np.arange(len(uniq))
+    lab = pri.copy()
+    for _ in range(max_iters):
+        old = lab.copy()
+        np.minimum.at(lab, a, lab[b])
+        np.minimum.at(lab, b, lab[a])
+        lab = np.minimum(lab, lab[order[lab]])  # pointer jump
+        if np.array_equal(lab, old):
+            break
+    return order[lab], uniq
+
+
+def collect_sameas_arrays(triples: Dataset):
+    """Broadcast-ready ``(keys, vals)`` alias→canonical Arrow arrays.
+
+    The heavy lifting (per-cluster canonical choice) happened inside the
+    distributed per-batch combiner; the driver merge is O(pairs) and fully
+    vectorized:
+
+    1. drop duplicate (node, canon) pairs (a node's cluster usually lives
+       in exactly one batch);
+    2. nodes with *conflicting* canons across batches — cross-batch
+       clusters — are resolved with the exact min-label merge over just
+       the conflicted subset (tiny);
+    3. pointer-jump canons through the mapping (≤5 rounds) so chains that
+       straddle batches land on the final representative.
+    """
+    import numpy as np
+    import pandas as pd
+
     partials = triples.map_batches(
         sameas_edges_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    uf = UnionFind()
-    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for n, r in zip(b["node"].to_pylist(), b["root"].to_pylist()):
-            uf.union(n, r)
-    # cluster → choose canonical rep (prefer the Geoconnex PID)
-    clusters: dict[str, list[str]] = {}
-    for n, r in uf.items():
-        clusters.setdefault(r, []).append(n)
-    mapping: dict[str, str] = {}
-    for root, members in clusters.items():
-        all_members = sorted(set(members) | {root})
-        pids = [m for m in all_members if m.startswith(PID_PREFIX)]
-        canon = pids[0] if pids else all_members[0]
-        for m in all_members:
-            if m != canon:
-                mapping[m] = canon
-    return mapping
+    pdf = partials.to_pandas()
+    empty = pa.array([], pa.large_string())
+    if not len(pdf):
+        return empty, empty
+    # everything below is integer-coded: one factorize, then pure numpy
+    nodes_np, roots_np = pdf["node"].to_numpy(), pdf["root"].to_numpy()
+    codes, uniq = pd.factorize(np.concatenate([nodes_np, roots_np]))
+    n_pairs = len(nodes_np)
+    a, b = codes[:n_pairs].astype(np.int64), codes[n_pairs:].astype(np.int64)
+    # dedup identical pairs
+    pk = a * len(uniq) + b
+    pk_u = np.unique(pk)
+    a, b = pk_u // len(uniq), pk_u % len(uniq)
+    # conflicted nodes: same node, different canons across batches
+    a_sorted = np.sort(a)
+    dup_nodes = np.unique(a_sorted[:-1][a_sorted[:-1] == a_sorted[1:]]) if len(a) > 1 else np.array([], np.int64)
+    if len(dup_nodes):
+        in_conf_node = np.zeros(len(uniq), bool)
+        in_conf_node[dup_nodes] = True
+        conf_mask = in_conf_node[a]
+        # grow the conflict graph by pairs touching any conflicted string
+        conf_strings = np.zeros(len(uniq), bool)
+        conf_strings[a[conf_mask]] = True
+        conf_strings[b[conf_mask]] = True
+        conf_mask = conf_strings[a] | conf_strings[b]
+        ca, cb = a[conf_mask], b[conf_mask]
+        canon_idx, cuniq = _merge_pairs_idx(uniq[ca], uniq[cb])
+        changed = np.flatnonzero(canon_idx != np.arange(len(cuniq)))
+        res_keys, res_vals = cuniq[changed], cuniq[canon_idx[changed]]
+        # recombine with the clean remainder (re-coded once more)
+        ka = np.concatenate([uniq[a[~conf_mask]], res_keys])
+        va = np.concatenate([uniq[b[~conf_mask]], res_vals])
+        codes, uniq = pd.factorize(np.concatenate([ka, va]))
+        half = len(ka)
+        a, b = codes[:half].astype(np.int64), codes[half:].astype(np.int64)
+    # pointer jumping (numpy): a canon that is itself aliased follows on
+    lut = np.full(len(uniq), -1, np.int64)
+    lut[a] = b
+    for _ in range(5):
+        jumped = lut[b]
+        mask = jumped >= 0
+        if not mask.any():
+            break
+        b = np.where(mask, jumped, b)
+    keep = a != b
+    keys = pa.array(uniq[a[keep]], pa.large_string())
+    vals = pa.array(uniq[b[keep]], pa.large_string())
+    return keys, vals
+
+
+def collect_sameas_mapping(triples: Dataset) -> dict[str, str]:
+    """Edges → alias→canonical dict (driver-side merge of partial UFs).
+
+    Driver memory is bounded by the number of *aliased* entities (the
+    per-batch combiner compresses everything else away); see module
+    docstring for the 10^12-doc alternative.
+    """
+    partials = triples.map_batches(
+        sameas_edges_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pdf = partials.to_pandas()
+    if not len(pdf):
+        return {}
+    return _merge_pairs_vectorized(pdf["node"].to_numpy(), pdf["root"].to_numpy())
+
+
+def local_exact_dedup(tbl: pa.Table) -> pa.Table:
+    """Within-block exact-(subj,pred,obj) dedup.
+
+    Hash prefilter: rows whose 64-bit combined hash is unique are kept
+    without any string comparison; only hash-colliding candidates go
+    through an exact pandas dedup (usually zero rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if tbl.num_rows < 2:
+        return tbl
+    hs = pd.util.hash_array(tbl["subj"].to_numpy(zero_copy_only=False))
+    hp = pd.util.hash_array(tbl["pred"].to_numpy(zero_copy_only=False))
+    ho = pd.util.hash_array(tbl["obj"].to_numpy(zero_copy_only=False))
+    h = hs * np.uint64(1000003) + hp * np.uint64(31) + ho
+    dup_any = pd.Series(h).duplicated(keep=False).to_numpy()
+    if not dup_any.any():
+        return tbl
+    uniq_part = tbl.filter(pa.array(~dup_any))
+    cand = tbl.filter(pa.array(dup_any)).to_pandas()
+    cand = cand.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+    return pa.concat_tables(
+        [uniq_part, pa.Table.from_pandas(cand, preserve_index=False, schema=tbl.schema)]
+    )
 
 
 class CanonicalRewriter:
@@ -119,14 +272,21 @@ class CanonicalRewriter:
         mapping = mapping_ref
         if isinstance(mapping, ray.ObjectRef):
             mapping = ray.get(mapping)
-        self.keys = pa.array(list(mapping.keys()), pa.large_string())
-        self.vals = pa.array(list(mapping.values()), pa.large_string())
+        if isinstance(mapping, tuple):
+            # broadcast-friendly form: (keys, vals) Arrow arrays — memcpy
+            # deserialization instead of rebuilding a Python dict per worker
+            self.keys, self.vals = mapping
+        else:
+            self.keys = pa.array(list(mapping.keys()), pa.large_string())
+            self.vals = pa.array(list(mapping.values()), pa.large_string())
         self.drop_sameas = drop_sameas
 
     def _rewrite(self, col: pa.ChunkedArray) -> pa.Array:
         col = pc.cast(col, pa.large_string())
         if len(self.keys) == 0:
             return col
+        # index_in rebuilds its value_set hash table per call — callers keep
+        # block counts low/fixed so this fixed cost stays a small fraction
         idx = pc.index_in(col, value_set=self.keys)
         repl = pc.take(self.vals, idx)
         return pc.coalesce(repl, col)
@@ -151,16 +311,53 @@ def canonicalize_stage(
     mapping: dict[str, str],
     *,
     drop_sameas: bool = True,
-    batch_size: int = 65536,
+    batch_size: int | None = 65536,
     concurrency: int | tuple[int, int] = (1, 4),
+    use_actors: bool = False,
+    local_dedup: bool = False,
 ) -> Dataset:
+    """Vectorized alias→canonical rewrite over a broadcast mapping.
+
+    Default is task-mode (per-worker-process cached broadcast, see
+    link_stage docstring); ``use_actors=True`` gives the classic actor
+    pool.  ``local_dedup=True`` folds a within-batch exact-triple dedup
+    into the same stage (cheap combiner before any global dedup).
+    """
+    if isinstance(mapping, dict):
+        mapping = (
+            pa.array(list(mapping.keys()), pa.large_string()),
+            pa.array(list(mapping.values()), pa.large_string()),
+        )
     mapping_ref = ray.put(mapping)
+    if use_actors:
+        return triples.map_batches(
+            CanonicalRewriter,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"mapping_ref": mapping_ref, "drop_sameas": drop_sameas},
+            zero_copy_batch=True,
+        )
+
+    from .link import _cached_get
+
+    def rewrite_fn(batch: pa.Table) -> pa.Table:
+        key = "rewriter:" + mapping_ref.hex()
+        from .link import _BROADCAST_CACHE
+
+        rw = _BROADCAST_CACHE.get(key)
+        if rw is None:
+            rw = CanonicalRewriter(_cached_get(mapping_ref), drop_sameas=drop_sameas)
+            _BROADCAST_CACHE[key] = rw
+        out = rw(batch)
+        if local_dedup:
+            out = local_exact_dedup(out)
+        return out
+
     return triples.map_batches(
-        CanonicalRewriter,
+        rewrite_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"mapping_ref": mapping_ref, "drop_sameas": drop_sameas},
         zero_copy_batch=True,
     )
 

@@ -1,0 +1,269 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline ops (first-class per the build brief,
+alongside SURVEY.md §2.7's exact-dedup semantics D1/D5):
+
+* exact dedup          — content-hash + keep smallest doc_id
+* MinHash + LSH        — shingle → minhash → band → bucket groupby →
+                         candidate pairs → Jaccard verify
+* SimHash              — 64-bit hyperplane-free token simhash, hamming buckets
+* n-gram Jaccard       — direct pairwise verify within LSH buckets
+* embedding cosine     — see similarity.py (near_duplicates_embedding)
+
+All stages are vectorized ``map_batches`` over Arrow/pandas; the only
+shuffles are the bucket ``groupby``s, whose keys are engineered to be
+high-cardinality (band hashes), so no hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFn, Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash(series: pd.Series) -> np.ndarray:
+    """Deterministic uint64 content hash (cross-process stable)."""
+    return pd.util.hash_array(series.to_numpy(object)).astype(np.uint64)
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup(docs: Dataset) -> Dataset:
+    """Keep the smallest doc_id per exact text (D1 'first wins' semantics,
+    reference userCode/assetGroups/config.py:133-141).
+
+    Hash-partitioned: per-batch partial min(doc_id) per text-hash combiner
+    first, then one small groupby over partials — the big side never
+    shuffles raw text.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _stable_hash(batch["text"])
+        out = batch.assign(text_hash=h).groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min")
+        )
+        return out
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    kept = partials.groupby("text_hash").aggregate(Min("keep_doc_id", alias_name="doc_id"))
+    return kept
+
+
+def exact_dedup_docs(docs: Dataset) -> Dataset:
+    """Full rows of the surviving documents (broadcast-free semi-join by
+    re-deriving the winner per group)."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text_hash"] = _stable_hash(batch["text"])
+        return batch
+
+    tagged = docs.map_batches(tag, batch_format="pandas")
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, "doc_id")
+
+    return tagged.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ----------------------------------------------------------- minhash + LSH
+def _shingles(text: str, k: int) -> set[str]:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+class MinHasher:
+    """Vectorized k-shingle minhash (n_perm universal-hash permutations).
+
+    Stateful setup (permutation coefficients) happens once per worker —
+    usable as an actor class or via the module-level default instance.
+    """
+
+    def __init__(self, n_perm: int = 64, k: int = 5, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        h = pd.util.hash_array(np.array(sorted(sh), dtype=object)).astype(np.uint64)
+        # (a*h + b) mod p for each permutation; min over shingles
+        vals = (np.outer(h, self.a) + self.b) % _MERSENNE
+        return vals.min(axis=0)
+
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        return np.stack([self.signature(t) for t in texts])
+
+
+def minhash_lsh_pairs(
+    docs: Dataset,
+    *,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> Dataset:
+    """Near-duplicate pairs (doc_a < doc_b) via MinHash-LSH.
+
+    shingle→minhash per batch (stateless tasks, coefficients rebuilt from
+    the fixed seed — cheaper than shipping state) → explode to
+    (band, band_hash, doc_id) rows → groupby bucket → pairs within bucket
+    → exact shingle-Jaccard verification → global pair dedup.
+    """
+    rows_per_band = n_perm // bands
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = MinHasher(n_perm=n_perm, k=k)
+        sig = mh.signatures(batch["text"])
+        out = []
+        for b in range(bands):
+            band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh = pd.util.hash_array(
+                pd.DataFrame(band).astype(str).agg("_".join, axis=1).to_numpy(object)
+            ).astype(np.uint64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band": np.int32(b),
+                        "band_hash": bh,
+                        "doc_id": batch["doc_id"].to_numpy(),
+                        "text": batch["text"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    exploded = docs.map_batches(sigs, batch_format="pandas")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype({"doc_a": "int64", "doc_b": "int64"})
+        g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        sh = [_shingles(t, k) for t in texts]
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i]) + len(sh[j]) - inter
+                if union and inter / union >= jaccard_threshold:
+                    pa_.append(ids[i])
+                    pb_.append(ids[j])
+        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_}).astype({"doc_a": "int64", "doc_b": "int64"})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair can fire in several bands — global dedup (small side)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_batch(batch: pd.DataFrame, n_bits: int = 64) -> pd.DataFrame:
+    """64-bit token simhash per document (vectorized per batch)."""
+    out_h = np.zeros(len(batch), np.uint64)
+    for row, text in enumerate(batch["text"]):
+        toks = np.array(list(dict.fromkeys(text.lower().split())), dtype=object)
+        if not len(toks):
+            continue
+        h = pd.util.hash_array(toks).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int32
+        )
+        v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
+        out_h[row] = (v << np.arange(n_bits, dtype=np.uint64)).sum(dtype=np.uint64)
+    return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out_h})
+
+
+def simhash_dataset(docs: Dataset) -> Dataset:
+    return docs.map_batches(simhash_batch, batch_format="pandas")
+
+
+def simhash_near_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
+    """Near-dup pairs by simhash hamming distance, bucketed on 4 16-bit
+    chunks (a pair within hamming≤3 must agree on ≥1 chunk — pigeonhole)."""
+    sims = simhash_dataset(docs)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        h = batch["simhash"].to_numpy(np.uint64)
+        for c in range(4):
+            chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            outs.append(
+                pd.DataFrame(
+                    {"chunk": np.int32(c), "chunk_val": chunk, "doc_id": batch["doc_id"], "simhash": h}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    exploded = sims.map_batches(explode, batch_format="pandas")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy(np.uint64)
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.flatnonzero(ham <= max_hamming):
+                pa_.append(ids[i])
+                pb_.append(ids[i + 1 + j])
+        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_}).astype({"doc_a": "int64", "doc_b": "int64"})
+
+    out = exploded.groupby(["chunk", "chunk_val"]).map_groups(pairs, batch_format="pandas")
+    return out.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n")).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+# ---------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    docs: Dataset, *, n: int = 3, threshold: float = 0.5
+) -> Dataset:
+    """Word-n-gram Jaccard near-dup pairs, LSH-free variant: block on the
+    rarest n-gram hash per doc (cheap single-key blocking), verify exactly."""
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        for text in batch["text"]:
+            ws = text.lower().split()
+            grams = [" ".join(ws[i : i + n]) for i in range(max(1, len(ws) - n + 1))]
+            h = pd.util.hash_array(np.array(grams, dtype=object)).astype(np.uint64)
+            keys.append(h.min() if len(h) else np.uint64(0))
+        return pd.DataFrame(
+            {"block_key": np.array(keys, np.uint64), "doc_id": batch["doc_id"], "text": batch["text"]}
+        )
+
+    blocked = docs.map_batches(block, batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        gram_sets = []
+        for text in g["text"]:
+            ws = text.lower().split()
+            gram_sets.append({" ".join(ws[i : i + n]) for i in range(max(1, len(ws) - n + 1))})
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(gram_sets[i] & gram_sets[j])
+                union = len(gram_sets[i]) + len(gram_sets[j]) - inter
+                if union and inter / union >= threshold:
+                    pa_.append(ids[i])
+                    pb_.append(ids[j])
+        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_}).astype({"doc_a": "int64", "doc_b": "int64"})
+
+    return blocked.groupby("block_key").map_groups(verify, batch_format="pandas")

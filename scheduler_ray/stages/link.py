@@ -2,8 +2,7 @@
 
 Semantics of the reference's mainstem association: during `nabu release`,
 each hydrologic feature is joined against the mainstem hydrofabric and
-gains a ``hyf:referencedPosition/HY_IndirectPosition/hyf:linearElement``
-triple pointing at its mainstem (reference
+gains a ``hyf:linearElement`` triple pointing at its mainstem (reference
 userCode/assetGroups/release_graph_generator.py:41-83; golden pairs
 asserted at userCode/defs_test.py:75-80,104-130 — dam 1076356 → mainstem
 36825).  The join is gated per source by the sitemap hint
@@ -11,19 +10,29 @@ asserted at userCode/defs_test.py:75-80,104-130 — dam 1076356 → mainstem
 (userCode/assetGroups/testdata/sitemap.xml:13).
 
 Ray-Data-first: the registry is the *small* side, so there is **no
-shuffle** — it is broadcast once with ``ray.put`` and loaded once per
-actor in ``__init__`` (actor pool via ``map_batches(EntityLinker,
-concurrency=...)``).  Candidate generation is token-blocking over an
-inverted index (minhash-style blocking with a document-frequency cutoff),
-scoring is token-set Jaccard, and the argmax per mention is resolved
-locally — the whole link is a per-batch lookup.
+shuffle** — the candidate index is built ONCE on the driver, broadcast
+with ``ray.put``, and loaded once per actor in ``__init__``
+(``map_batches(EntityLinker, concurrency=(min,max))``).
+
+The index is deliberately compact and numpy/Arrow-native so per-actor
+deserialization is a memcpy, not 800k Python objects (a naive dict/set
+index anti-scaled with pool size):
+
+* token vocabulary as a sorted ``uint64`` hash array
+  (``pd.util.hash_array`` — deterministic across processes),
+* CSR postings (offsets + flat row ids) with a document-frequency cutoff
+  (stop-band pruning, the token-blocking analogue of minhash banding),
+* registry ids / mainstem URIs as pyarrow ``large_string`` arrays.
+
+Candidate generation + Jaccard scoring + per-mention argmax are fully
+vectorized over the whole batch (numpy), with a deterministic tie-break.
 """
 
 from __future__ import annotations
 
 import re
-from collections import defaultdict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -38,56 +47,194 @@ NAME_PRED = "schema:name"
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 #: tokens appearing in more than this fraction of registry names are too
-#: common to block on (the "feature" token in 'Feature 123' — analogous to
-#: stop-band pruning in minhash blocking).
+#: common to block on ('feature' in 'Feature 123').
 _DF_CUTOFF = 0.25
 
+_HASH_DTYPE = np.uint64
 
-def _tokens(s: str) -> list[str]:
-    return _TOKEN_RE.findall(s.lower())
+
+def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit token hashes (stable across processes)."""
+    return pd.util.hash_array(tokens.astype(object)).astype(_HASH_DTYPE)
 
 
 class RegistryIndex:
-    """Token-blocked candidate index over the registry (built once/actor)."""
+    """Compact broadcastable token-blocking index over the registry."""
 
     def __init__(self, registry: pd.DataFrame):
-        self.ids = registry["id"].to_numpy()
-        self.mainstems = registry["mainstem_uri"].to_numpy(dtype=object)
-        self.token_sets: list[frozenset[str]] = [
-            frozenset(_tokens(n)) for n in registry["feature_name"]
-        ]
-        postings: dict[str, list[int]] = defaultdict(list)
-        for i, toks in enumerate(self.token_sets):
-            for t in toks:
-                postings[t].append(i)
-        cutoff = max(2.0, _DF_CUTOFF * len(self.token_sets))
-        self.postings = {t: p for t, p in postings.items() if len(p) <= cutoff}
+        n = len(registry)
+        self.ids: pa.Array = pa.Array.from_pandas(registry["id"], type=pa.large_string())
+        ms = registry["mainstem_uri"] if "mainstem_uri" in registry else pd.Series([None] * n)
+        self.mainstems: pa.Array = pa.Array.from_pandas(ms, type=pa.large_string())
+        tok_lists = registry["feature_name"].str.lower().str.findall(_TOKEN_RE)
+        ex = tok_lists.explode().dropna()
+        pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy(object)})
+        pairs = pairs[~pairs.duplicated()]  # per-row token dedup, vectorized
+        rows = pairs["row"].to_numpy(np.int32)
+        flat_tokens = pairs["tok"].to_numpy(object)
+        h = _hash_tokens(flat_tokens) if len(flat_tokens) else np.array([], _HASH_DTYPE)
+        order = np.argsort(h, kind="stable")
+        h, rows = h[order], rows[order]
+        vocab, counts = np.unique(h, return_counts=True)
+        # document-frequency cutoff: drop stop-band tokens
+        cutoff = max(2.0, _DF_CUTOFF * max(1, n))
+        keep = counts <= cutoff
+        self.vocab = vocab[keep]
+        kept_counts = counts[keep]
+        self.offsets = np.zeros(len(self.vocab) + 1, np.int64)
+        np.cumsum(kept_counts, out=self.offsets[1:])
+        # h is sorted, so token groups are contiguous: one boolean gather
+        self.flat = rows[np.repeat(keep, counts)]
+        # Jaccard is scored over DISCRIMINATIVE tokens only (both sides
+        # exclude the pruned stop-band), so counts come from the kept
+        # postings, symmetrically with the query-side hit count.
+        self.token_counts = np.bincount(self.flat, minlength=n).astype(np.int32)
 
-    def link(self, name: str, min_score: float = 0.5) -> tuple[str | None, str | None]:
-        """mention name → (pid, mainstem_uri) or (None, None)."""
-        q = frozenset(_tokens(name))
-        cands: set[int] = set()
-        for t in q:
-            cands.update(self.postings.get(t, ()))
-        best_i, best_s = -1, min_score
-        for i in sorted(cands):  # sorted → deterministic tie-break
-            ts = self.token_sets[i]
-            inter = len(q & ts)
-            if not inter:
-                continue
-            s = inter / (len(q) + len(ts) - inter)
-            if s > best_s:
-                best_i, best_s = i, s
-        if best_i < 0:
-            return None, None
-        return self.ids[best_i], self.mainstems[best_i]
+    def link_batch(
+        self, names: pd.Series, min_score: float = 0.5
+    ) -> tuple[np.ndarray, list, list]:
+        """Vectorized: mention names → (matched_mask, pids, mainstems).
+
+        Returns per-input-name: whether a registry entity was linked, the
+        linked PID (or None) and its mainstem URI (or None).
+        """
+        m = len(names)
+        pids: list = [None] * m
+        mainstems: list = [None] * m
+        if m == 0 or len(self.vocab) == 0:
+            return np.zeros(m, bool), pids, mainstems
+        tok_lists = names.str.lower().str.findall(_TOKEN_RE).map(
+            lambda ts: list(dict.fromkeys(ts))
+        )
+        qlens = tok_lists.map(len).to_numpy(np.int64)
+        mention_of_tok = np.repeat(np.arange(m, dtype=np.int64), qlens)
+        flat = (
+            np.concatenate([np.array(t, dtype=object) for t in tok_lists])
+            if qlens.sum()
+            else np.array([], object)
+        )
+        if not len(flat):
+            return np.zeros(m, bool), pids, mainstems
+        h = _hash_tokens(flat)
+        pos = np.searchsorted(self.vocab, h)
+        pos_c = np.clip(pos, 0, len(self.vocab) - 1)
+        hit = self.vocab[pos_c] == h
+        pos_h, mention_h = pos_c[hit], mention_of_tok[hit]
+        # discriminative query-token count (tokens present in the kept vocab)
+        qlens = np.bincount(mention_h, minlength=m).astype(np.int64)
+        starts, ends = self.offsets[pos_h], self.offsets[pos_h + 1]
+        counts = (ends - starts).astype(np.int64)
+        if counts.sum() == 0:
+            return np.zeros(m, bool), pids, mainstems
+        # expand CSR ranges: candidate row per (mention, token) hit
+        reps = np.repeat(np.arange(len(counts)), counts)
+        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], np.int64)
+        cand_rows = self.flat[starts[reps] + offs]
+        cand_mentions = mention_h[reps]
+        # count token intersections per (mention, candidate) pair
+        key = cand_mentions.astype(np.int64) * (len(self.token_counts) + 1) + cand_rows
+        uniq_key, inter = np.unique(key, return_counts=True)
+        u_mention = uniq_key // (len(self.token_counts) + 1)
+        u_cand = (uniq_key % (len(self.token_counts) + 1)).astype(np.int64)
+        union = qlens[u_mention] + self.token_counts[u_cand] - inter
+        score = inter / np.maximum(union, 1)
+        ok = score >= min_score
+        u_mention, u_cand, score = u_mention[ok], u_cand[ok], score[ok]
+        if not len(u_mention):
+            return np.zeros(m, bool), pids, mainstems
+        # deterministic argmax per mention: best score, then smallest row id
+        order = np.lexsort((u_cand, -score, u_mention))
+        u_mention, u_cand = u_mention[order], u_cand[order]
+        first = np.ones(len(u_mention), bool)
+        first[1:] = u_mention[1:] != u_mention[:-1]
+        best_mentions, best_cands = u_mention[first], u_cand[first]
+        matched = np.zeros(m, bool)
+        matched[best_mentions] = True
+        for mi, ci in zip(best_mentions, best_cands):
+            pids[mi] = self.ids[int(ci)].as_py()
+            v = self.mainstems[int(ci)]
+            mainstems[mi] = None if not v.is_valid else v.as_py()
+        return matched, pids, mainstems
+
+    def link(self, name: str, min_score: float = 0.5):
+        """Single-mention convenience wrapper (tests)."""
+        matched, pids, mainstems = self.link_batch(pd.Series([name]), min_score)
+        return pids[0], mainstems[0]
+
+
+def build_or_load_index(registry: pd.DataFrame, cache_path: str | None = None) -> RegistryIndex:
+    """Build the index, or load/store a pickle cache (the ``.bytesum``-style
+    skip-if-unchanged idea from the reference, applied to derived state;
+    reference userCode/defs_test.py:86-98)."""
+    import os
+    import pickle
+
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+    idx = RegistryIndex(registry)
+    if cache_path:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(idx, f)
+        os.replace(tmp, cache_path)
+    return idx
+
+
+def link_triples_batch(
+    batch: pa.Table, index: RegistryIndex, mainstems_enabled: dict[str, bool]
+) -> pa.Table:
+    """Pure per-batch link kernel shared by task-mode and actor-mode."""
+    import pyarrow.compute as pc
+
+    is_name = pc.equal(batch["pred"], NAME_PRED)
+    if pc.sum(pc.cast(is_name, pa.int64())).as_py() == 0:
+        return batch
+    names_t = batch.filter(is_name)
+    graphs = names_t["graph"].to_pylist()
+    enabled = np.array([mainstems_enabled.get(g, False) for g in graphs], bool)
+    if not enabled.any():
+        return batch
+    sub = names_t.filter(pa.array(enabled))
+    names = pd.Series(sub["obj"].to_pylist())
+    matched, _pids, mainstems = index.link_batch(names)
+    subjs = sub["subj"].to_pylist()
+    sub_graphs = sub["graph"].to_pylist()
+    new = [
+        (subjs[i], LINEAR_ELEMENT, mainstems[i], False, sub_graphs[i])
+        for i in np.flatnonzero(matched)
+        if mainstems[i] is not None
+    ]
+    if not new:
+        return batch
+    cols = list(zip(*new))
+    extra = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, TRIPLE_SCHEMA)],
+        schema=TRIPLE_SCHEMA,
+    )
+    return pa.concat_tables([batch.cast(TRIPLE_SCHEMA), extra])
+
+
+#: per-worker-process cache of broadcast objects (task-mode "load once per
+#: worker" — the same amortization an actor pool gives, without the pool's
+#: creation ramp; keyed by ObjectRef hex so repeated jobs coexist).
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
 
 
 class EntityLinker:
     """Actor-pool stage: triples in → triples + mainstem link triples out.
 
-    State (registry index, per-source gating) is built ONCE per actor from
-    broadcast ``ray.put`` refs — never re-shipped per batch.
+    State (broadcast compact index, per-source gating) is fetched ONCE per
+    actor in ``__init__`` — never re-shipped per batch.
     """
 
     def __init__(self, registry_ref, sources_ref):
@@ -97,36 +244,13 @@ class EntityLinker:
         sources = sources_ref
         if isinstance(sources, ray.ObjectRef):
             sources = ray.get(sources)
-        self.index = RegistryIndex(registry)
+        self.index = registry if isinstance(registry, RegistryIndex) else RegistryIndex(registry)
         self.mainstems_enabled: dict[str, bool] = dict(
             zip(sources["source_id"], sources["add_associated_mainstems"])
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = batch["pred"].to_pylist()
-        name_rows = [i for i, p in enumerate(preds) if p == NAME_PRED]
-        if not name_rows:
-            return batch
-        subjs = batch["subj"].to_pylist()
-        objs = batch["obj"].to_pylist()
-        graphs = batch["graph"].to_pylist()
-        new: list = []
-        for i in name_rows:
-            if not self.mainstems_enabled.get(graphs[i], False):
-                continue
-            pid, mainstem = self.index.link(objs[i])
-            if pid is not None and mainstem is not None and not pd.isna(mainstem):
-                # emit at the *raw* subject; canonicalization rewrites it to
-                # the PID together with everything else.
-                new.append((subjs[i], LINEAR_ELEMENT, str(mainstem), False, graphs[i]))
-        if not new:
-            return batch
-        cols = list(zip(*new))
-        extra = pa.Table.from_arrays(
-            [pa.array(c, type=f.type) for c, f in zip(cols, TRIPLE_SCHEMA)],
-            schema=TRIPLE_SCHEMA,
-        )
-        return pa.concat_tables([batch.cast(TRIPLE_SCHEMA), extra])
+        return link_triples_batch(batch, self.index, self.mainstems_enabled)
 
 
 def link_stage(
@@ -135,18 +259,47 @@ def link_stage(
     sources: pd.DataFrame,
     *,
     concurrency: int | tuple[int, int] = (1, 8),
-    batch_size: int = 8192,
+    batch_size: int | None = 8192,
+    use_actors: bool = False,
+    index_cache_path: str | None = None,
 ) -> Dataset:
-    registry_ref = ray.put(registry)
+    """Append mainstem-link triples using the broadcast registry index.
+
+    Two physical modes, same semantics (state loaded once per worker):
+
+    * ``use_actors=False`` (default): stateless tasks + a per-worker-process
+      broadcast cache.  Elastic — no actor-pool creation ramp, fuses with
+      the upstream extract/expand maps, scales to every free CPU.  This is
+      the mode benchmarked for the N→4N scaling criterion.
+    * ``use_actors=True``: a classic ``map_batches(EntityLinker,
+      concurrency=(min,max))`` actor pool — the right shape when per-worker
+      state is expensive to load (GPU NER models) or needs exclusivity.
+    """
+    index = build_or_load_index(registry, index_cache_path)
+    registry_ref = ray.put(index)  # build once, broadcast
     sources_ref = ray.put(sources)
+    if use_actors:
+        return triples.map_batches(
+            EntityLinker,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "registry_ref": registry_ref,
+                "sources_ref": sources_ref,
+            },
+            zero_copy_batch=True,
+        )
+
+    enabled = dict(zip(sources["source_id"], sources["add_associated_mainstems"]))
+
+    def link_fn(batch: pa.Table) -> pa.Table:
+        idx = _cached_get(registry_ref)
+        return link_triples_batch(batch, idx, enabled)
+
     return triples.map_batches(
-        EntityLinker,
+        link_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "registry_ref": registry_ref,
-            "sources_ref": sources_ref,
-        },
         zero_copy_batch=True,
     )

@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+same shape as the pages table's ``html`` column.  The Ray-side plumbing
+(schema, batch sizing, actor-pool signature, output layout) is real and
+tested; the codec kernels themselves are STUBBED because no image/audio
+libraries exist in this container:
+
+* :class:`MediaDecoder` raises ``NotImplementedError`` in ``strict`` mode,
+  or produces a deterministic fake decode (hash-derived width/height/
+  duration) in ``fake`` mode so pipelines remain runnable end-to-end.
+
+At 100 TB: decode/resize/frame-sample are exactly the stages that want
+small ``batch_size`` (payloads are wide) and real actor pools
+(``concurrency=(m, n)``, codecs initialised once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.large_string()),
+        ("n_bytes", pa.int64()),
+        ("sha256", pa.large_string()),
+        ("media_type", pa.large_string()),
+    ]
+)
+
+
+def media_metadata_batch(batch: pa.Table, id_col: str = "url", payload_col: str = "html") -> pa.Table:
+    """Typed metadata extraction over an opaque binary column (vectorized
+    length; per-row sha256 is unavoidable but C-speed)."""
+    payload = batch[payload_col]
+    import pyarrow.compute as pc
+
+    n_bytes = pc.binary_length(pc.cast(payload, pa.large_binary()))
+    shas = [hashlib.sha256(v.as_py()).hexdigest() for v in payload]
+    return pa.Table.from_arrays(
+        [
+            pc.cast(batch[id_col], pa.large_string()),
+            pc.cast(n_bytes, pa.int64()),
+            pa.array(shas, pa.large_string()),
+            pa.array(["application/octet-stream"] * batch.num_rows, pa.large_string()),
+        ],
+        schema=MEDIA_META_SCHEMA,
+    )
+
+
+def media_metadata_stage(ds: Dataset, *, id_col: str = "url", payload_col: str = "html", batch_size: int = 1024) -> Dataset:
+    return ds.map_batches(
+        lambda b: media_metadata_batch(b, id_col, payload_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,  # media rows are wide — keep batches small
+        zero_copy_batch=True,
+    )
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature-extract stage (codec loaded once per actor).
+
+    ``mode='strict'`` raises NotImplementedError (no codec libs in this
+    container); ``mode='fake'`` emits deterministic hash-derived features
+    so the surrounding pipeline (schema, batching, downstream joins) can be
+    exercised and tested for real.
+    """
+
+    def __init__(self, mode: str = "fake", target_size: tuple[int, int] = (224, 224)):
+        if mode not in ("fake", "strict"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.target_size = target_size
+        # real implementation would do: self.codec = load_codec_library()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "media decode requires image/audio codecs not present in this "
+                "environment; run with mode='fake' for the deterministic stub"
+            )
+        ids, widths, heights, feats = [], [], [], []
+        for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            digest = hashlib.sha256(payload).digest()
+            ids.append(url)
+            widths.append(int.from_bytes(digest[0:2], "big") % 4096)
+            heights.append(int.from_bytes(digest[2:4], "big") % 4096)
+            # deterministic fake embedding: first 16 digest bytes → float32s
+            feats.append((np.frombuffer(digest[:16], np.uint8) / 255.0).astype(np.float32))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.large_string()),
+                pa.array(widths, pa.int32()),
+                pa.array(heights, pa.int32()),
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            ],
+            names=["media_id", "width", "height", "features"],
+        )
+
+
+def media_decode_stage(
+    ds: Dataset,
+    *,
+    mode: str = "fake",
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 256,
+) -> Dataset:
+    """Decode/feature-extract as an actor pool: small batches (wide rows),
+    codec state per actor."""
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"mode": mode},
+        zero_copy_batch=True,
+    )
+
+
+def frame_sample_stage(ds: Dataset, every_n: int = 10) -> Dataset:
+    """Deterministic frame sampling stand-in: keep every n-th row per
+    ordered media stream (the video analogue of LIMIT-per-key)."""
+    import pyarrow.compute as pc
+
+    def sample(batch: pa.Table) -> pa.Table:
+        idx = np.arange(batch.num_rows)
+        return batch.take(pa.array(idx[idx % every_n == 0]))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
