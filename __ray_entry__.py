@@ -104,7 +104,10 @@ def _q_kg_entity_link(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from scheduler_ray.pipelines import queries as q
+
     return {
+        # knowledge-graph construction (SURVEY.md §2 core path)
         "kg_extract": _q_kg_extract,
         "kg_sources": _q_kg_sources,
         "kg_triples_raw": _q_kg_triples_raw,
@@ -113,10 +116,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cleanup_antijoin": _q_kg_cleanup,
         "kg_merge_dedup": _q_kg_merge_dedup,
         "kg_entity_link": _q_kg_entity_link,
+        "kg_validate": q.q_kg_validate,
+        # relational / windows
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "segment_revenue": q.q_segment_revenue,
+        "nation_region": q.q_nation_region,
+        "top_orders": q.q_top_orders,
+        "filter_revenue": q.q_filter_revenue,
+        "event_windows": q.q_event_windows,
+        "sessions": q.q_sessions,
+        "event_type_stats": q.q_event_type_stats,
+        "brand_stats": q.q_brand_stats,
+        "distinct_segments": q.q_distinct_segments,
+        # dedup family
+        "dedup_exact": q.q_dedup_exact,
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "dedup_ngram": q.q_dedup_ngram,
+        # text analysis
+        "text_tokens": q.q_text_tokens,
+        "text_quality": q.q_text_quality,
+        "text_langid": q.q_text_langid,
+        "text_fingerprint": q.q_text_fingerprint,
+        # similarity / embeddings
+        "ann_topk": q.q_ann_topk,
+        "embed_neardup": q.q_embed_neardup,
+        "label_counts": q.q_label_counts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from scheduler_ray.pipelines import queries as q
+
     return {
         "kg_extract": oracles.EXTRACT_SQL,
         "kg_sources": oracles.SOURCES_SQL,
@@ -126,4 +157,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_cleanup_antijoin": oracles.CLEANUP_SQL,
         "kg_merge_dedup": oracles.MERGE_DEDUP_SQL,
         "kg_entity_link": oracles.ENTITY_LINK_SQL,
+        "kg_validate": q.sql_kg_validate(),
+        "lineitem_pricing": q.SQL_LINEITEM_PRICING,
+        "segment_revenue": q.SQL_SEGMENT_REVENUE,
+        "nation_region": q.SQL_NATION_REGION,
+        "top_orders": q.SQL_TOP_ORDERS,
+        "filter_revenue": q.SQL_FILTER_REVENUE,
+        "event_windows": q.SQL_EVENT_WINDOWS,
+        "sessions": q.SQL_SESSIONS,
+        "event_type_stats": q.SQL_EVENT_TYPE_STATS,
+        "brand_stats": q.SQL_BRAND_STATS,
+        "distinct_segments": q.SQL_DISTINCT_SEGMENTS,
+        "dedup_exact": q.SQL_DEDUP_EXACT,
+        "dedup_minhash": q.SQL_DEDUP_MINHASH,
+        # dedup_simhash: rows-only (legit accidental collisions, see docstring)
+        "dedup_ngram": q.SQL_DEDUP_NGRAM,
+        "text_tokens": q.SQL_TEXT_TOKENS,
+        "text_quality": q.SQL_TEXT_QUALITY,
+        # text_langid / text_fingerprint: rows-only (non-SQL-expressible)
+        "ann_topk": q.SQL_ANN_TOPK,
+        "embed_neardup": q.SQL_EMBED_NEARDUP,
+        "label_counts": q.SQL_LABEL_COUNTS,
     }

@@ -1,0 +1,460 @@
+"""All driver-facing queries (one per operator family) + DuckDB oracles.
+
+Each ``q_*`` takes an ``sf_dir`` and returns a Dataset / DataFrame; the
+matching SQL in ``ORACLES`` runs on DuckDB views of the same parquet
+tables.  Column names match exactly (the driver hashes columns sorted by
+name).  Float aggregates are rounded identically on both sides.
+
+Near-dup queries run over corpora with *planted* duplicates (deterministic
+derivations of the base tables) so both the Ray result and the SQL oracle
+are well-defined; see each query's docstring for the plant rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages import dedup as dd
+from ..stages import relational as rel
+from ..stages import similarity as sim
+from ..stages import textops as tx
+from ..stages.validate import validate_stage
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 2) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+# ----------------------------------------------------------- relational
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary: partial per-batch aggregation →
+    small groupby (A1/A3 pattern), floats rounded to 2 for the oracle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join orders⋈customer → revenue per market segment."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = rel.broadcast_join(
+        orders, customer.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    out = rel.partial_groupby_sum(
+        joined, ["c_mktsegment"], {"o_totalprice": "revenue"}, count_alias="n_orders"
+    ).to_pandas()
+    return _round_cols(out, ["revenue"])
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_region(sf_dir: str):
+    nation = _read(sf_dir, "nation")
+    region = _read(sf_dir, "region").to_pandas()
+    out = rel.broadcast_join(
+        nation, region.rename(columns={"r_regionkey": "n_regionkey"}), on="n_regionkey"
+    )
+    return out.select_columns(["n_name", "r_name"])
+
+
+SQL_NATION_REGION = (
+    "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
+)
+
+
+def q_top_orders(sf_dir: str):
+    """Global top-k via per-block partial top-k combiner (O3 pattern)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return rel.top_k(ds, "o_totalprice", 10)
+
+
+SQL_TOP_ORDERS = (
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+)
+
+
+def q_filter_revenue(sf_dir: str):
+    """Vectorized filter + computed projection (M9/F-series pattern)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_discount"] > 0.05]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_discount > 0.05
+"""
+
+
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour event-time windows per user (streaming-shaped)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = rel.tumbling_window_agg(ev, window_s=3600).to_pandas()
+    return _round_cols(out, ["win_sum"])
+
+
+SQL_EVENT_WINDOWS = """
+SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window,
+       ROUND(SUM(value), 2) AS win_sum, COUNT(*) AS win_n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessions(sf_dir: str):
+    """Session windows (gap > 30 min) per user via groupby+map_groups."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rel.sessionize(ev, gap_s=1800)
+
+
+SQL_SESSIONS = """
+WITH g AS (
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch,
+         CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, epoch,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch
+                        ROWS UNBOUNDED PRECEDING) AS session
+  FROM g
+)
+SELECT user_id, session, MIN(epoch) AS session_start, MAX(epoch) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            v_sum=("value", "sum"), n=("value", "size")
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("v_sum", alias_name="v_sum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_value"] = (out["v_sum"] / out["n"]).round(4)
+    return _round_cols(out[["event_type", "n", "avg_value"]], [])
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_brand_stats(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Max("p_retailprice", alias_name="max_price"),
+            Min("p_retailprice", alias_name="min_price"),
+        )
+        .to_pandas()
+    )
+    return _round_cols(out, ["max_price", "min_price"])
+
+
+SQL_BRAND_STATS = """
+SELECT p_brand, COUNT(*) AS n_parts, ROUND(MAX(p_retailprice), 2) AS max_price,
+       ROUND(MIN(p_retailprice), 2) AS min_price
+FROM part GROUP BY p_brand
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    return pd.DataFrame({"c_mktsegment": sorted(ds.unique("c_mktsegment"))})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ------------------------------------------------------------ dedup family
+PLANT_OFFSET = 1_000_000
+
+
+def _docs_with_near_dups(sf_dir: str, mod: int, suffix: str | None, min_chars: int = 0):
+    """documents ∪ planted copies: doc_id%mod==0 (and n_chars≥min_chars)
+    re-emitted at doc_id+PLANT_OFFSET, text + suffix (None = exact copy)."""
+    docs = _read(sf_dir, "documents")
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = (b["doc_id"] % mod == 0) & (b["n_chars"] >= min_chars)
+        copies = b[sel].copy()
+        copies["doc_id"] = copies["doc_id"] + PLANT_OFFSET
+        if suffix:
+            copies["text"] = copies["text"] + suffix
+        return pd.concat([b, copies], ignore_index=True)
+
+    return docs.map_batches(plant, batch_format="pandas")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: smallest doc_id per identical text (D1 semantics)."""
+    out = dd.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return pd.DataFrame({"doc_id": np.sort(out["doc_id"].to_numpy())})
+
+
+SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the REAL near-duplicates the
+    documents table contains.  32 bands × 2 rows make detection of
+    j ≥ 0.8 pairs certain to ~1e-14, and every candidate is verified with
+    exact 5-shingle Jaccard — so the result equals the exhaustive
+    ≥-threshold pair set the DuckDB oracle computes."""
+    return dd.minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.8
+    )
+
+
+#: exhaustive 5-char-shingle Jaccard over all pairs (normalization matches
+#: dedup._shingles: lowercase + whitespace collapse)
+SQL_DEDUP_MINHASH = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), i, 5) AS s
+  FROM documents,
+       UNNEST(GENERATE_SERIES(1,
+         GREATEST(LENGTH(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) - 4, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3) with planted exact copies
+    (doc_id%7==0).  The small shared vocabulary also produces legitimate
+    accidental collisions, so this is a rows-only check (no SQL oracle)."""
+    corpus = _docs_with_near_dups(sf_dir, 7, None)
+    return dd.simhash_near_pairs(corpus, max_hamming=3)
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.6) over the real
+    near-duplicates, via word-gram MinHash banding + exact verification."""
+    return dd.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.6
+    )
+
+
+#: exhaustive word-3-gram Jaccard over all pairs
+SQL_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - 2, 1))) AS t(i)
+  WHERE LEN(ts) > 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ts, ' ') AS g FROM toks WHERE LEN(ts) <= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+"""
+
+
+# ------------------------------------------------------------- text ops
+def q_text_tokens(sf_dir: str):
+    return tx.token_count_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    return tx.quality_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       LENGTH(text)::BIGINT AS n_chars,
+       LEN(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       ROUND(LEN(regexp_extract_all(text, '[^\w\s]')) /
+             GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS punct_ratio,
+       ROUND(LEN(regexp_extract_all(text, '\S')) /
+             GREATEST(LEN(regexp_extract_all(text, '\S+')), 1)::DOUBLE, 6) AS mean_word_len
+FROM documents
+"""
+
+
+def q_text_langid(sf_dir: str):
+    """Stopword-profile language ID (actor-pool stage; rows-only check —
+    the argmax heuristic is not reasonably SQL-expressible)."""
+    return tx.langid_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints (rows-only: the 64-bit
+    hash function is not available in SQL)."""
+    return tx.fingerprint_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ----------------------------------------------------------- similarity
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id<5 against the
+    whole corpus (scores rounded to 4; ties broken by vec_id)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = sim.brute_force_topk(emb, queries, k=10)
+    out["query_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS score
+FROM embeddings q CROSS JOIN embeddings c
+WHERE q.vec_id < 5
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.vec_id
+) <= 10
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicates (≥0.95) with planted exact copies
+    (vec_id%5==0 re-emitted at vec_id+PLANT_OFFSET): cosine 1.0 exactly,
+    while the max off-diagonal cosine of the base corpus is ~0.51."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b["vec_id"] % 5 == 0
+        copies = b[sel].copy()
+        copies["vec_id"] = copies["vec_id"] + PLANT_OFFSET
+        return pd.concat([b, copies], ignore_index=True)
+
+    corpus = emb.map_batches(plant, batch_format="pandas")
+    return sim.near_duplicates_embedding(corpus, threshold=0.95)
+
+
+SQL_EMBED_NEARDUP = f"""
+SELECT vec_id AS vec_a, vec_id + {PLANT_OFFSET} AS vec_b
+FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def q_label_counts(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["label"])
+    return emb.groupby("label").aggregate(Count(alias_name="n"))
+
+
+SQL_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+
+
+# ---------------------------------------------------------- kg: validate
+def q_kg_validate(sf_dir: str):
+    """SHACL-subset validation verdict per page (M2): valid ⇔ the page has
+    a parseable JSON-LD block satisfying the HY_HydroLocation shape."""
+    from ..corpus import ensure_pages_fixture
+    from ..stages.extract import extract_stage
+    from . import flagship
+
+    fx = ensure_pages_fixture(sf_dir)
+    ex = extract_stage(flagship.read_pages(fx))
+    return validate_stage(ex).select_columns(["url", "valid"])
+
+
+def sql_kg_validate() -> str:
+    from ..oracles import URL
+
+    return (
+        f"SELECT {URL} AS url, "
+        "(doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS valid FROM documents"
+    )

@@ -79,6 +79,13 @@ def _shingles(text: str, k: int) -> set[str]:
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
+def _word_grams(text: str, n: int) -> set[str]:
+    ws = text.lower().split()
+    if len(ws) <= n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
 class MinHasher:
     """Vectorized k-shingle minhash (n_perm universal-hash permutations).
 
@@ -86,15 +93,16 @@ class MinHasher:
     usable as an actor class or via the module-level default instance.
     """
 
-    def __init__(self, n_perm: int = 64, k: int = 5, seed: int = 42):
+    def __init__(self, n_perm: int = 64, k: int = 5, seed: int = 42, mode: str = "char"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.k = k
+        self.mode = mode
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
+        sh = _shingles(text, self.k) if self.mode == "char" else _word_grams(text, self.k)
         h = pd.util.hash_array(np.array(sorted(sh), dtype=object)).astype(np.uint64)
         # (a*h + b) mod p for each permutation; min over shingles
         vals = (np.outer(h, self.a) + self.b) % _MERSENNE
@@ -108,9 +116,10 @@ def minhash_lsh_pairs(
     docs: Dataset,
     *,
     n_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     k: int = 5,
-    jaccard_threshold: float = 0.6,
+    jaccard_threshold: float = 0.8,
+    mode: str = "char",
 ) -> Dataset:
     """Near-duplicate pairs (doc_a < doc_b) via MinHash-LSH.
 
@@ -118,11 +127,17 @@ def minhash_lsh_pairs(
     the fixed seed — cheaper than shipping state) → explode to
     (band, band_hash, doc_id) rows → groupby bucket → pairs within bucket
     → exact shingle-Jaccard verification → global pair dedup.
+
+    Recall: with 32 bands × 2 rows, P(miss | j ≥ 0.8) = (1-j²)^32 ≤ 6e-15,
+    so the verified output equals the exact ≥-threshold pair set for
+    practical purposes (the DuckDB oracle computes that set exhaustively).
+    ``mode='word'`` shingles on word n-grams of size ``k`` instead of
+    character k-grams.
     """
     rows_per_band = n_perm // bands
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
-        mh = MinHasher(n_perm=n_perm, k=k)
+        mh = MinHasher(n_perm=n_perm, k=k, mode=mode)
         sig = mh.signatures(batch["text"])
         out = []
         for b in range(bands):
@@ -150,7 +165,7 @@ def minhash_lsh_pairs(
         g = group.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].to_numpy()
         texts = g["text"].to_numpy()
-        sh = [_shingles(t, k) for t in texts]
+        sh = [(_shingles(t, k) if mode == "char" else _word_grams(t, k)) for t in texts]
         pa_, pb_ = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -231,39 +246,11 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
 
 # ---------------------------------------------------------- ngram jaccard
 def ngram_jaccard_pairs(
-    docs: Dataset, *, n: int = 3, threshold: float = 0.5
+    docs: Dataset, *, n: int = 3, threshold: float = 0.6
 ) -> Dataset:
-    """Word-n-gram Jaccard near-dup pairs, LSH-free variant: block on the
-    rarest n-gram hash per doc (cheap single-key blocking), verify exactly."""
-
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = []
-        for text in batch["text"]:
-            ws = text.lower().split()
-            grams = [" ".join(ws[i : i + n]) for i in range(max(1, len(ws) - n + 1))]
-            h = pd.util.hash_array(np.array(grams, dtype=object)).astype(np.uint64)
-            keys.append(h.min() if len(h) else np.uint64(0))
-        return pd.DataFrame(
-            {"block_key": np.array(keys, np.uint64), "doc_id": batch["doc_id"], "text": batch["text"]}
-        )
-
-    blocked = docs.map_batches(block, batch_format="pandas")
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        gram_sets = []
-        for text in g["text"]:
-            ws = text.lower().split()
-            gram_sets.append({" ".join(ws[i : i + n]) for i in range(max(1, len(ws) - n + 1))})
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(gram_sets[i] & gram_sets[j])
-                union = len(gram_sets[i]) + len(gram_sets[j]) - inter
-                if union and inter / union >= threshold:
-                    pa_.append(ids[i])
-                    pb_.append(ids[j])
-        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_}).astype({"doc_a": "int64", "doc_b": "int64"})
-
-    return blocked.groupby("block_key").map_groups(verify, batch_format="pandas")
+    """Word-n-gram Jaccard near-dup pairs: MinHash-LSH banding over word
+    n-grams (32 bands × 2 rows → P(miss | j≥0.6) = (1-j²)^32 ≤ 6e-7),
+    verified with exact n-gram-set Jaccard."""
+    return minhash_lsh_pairs(
+        docs, n_perm=64, bands=32, k=n, jaccard_threshold=threshold, mode="word"
+    )

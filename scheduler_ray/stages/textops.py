@@ -51,8 +51,9 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_chars = text.str.len().astype("int64")
     n_tokens = text.str.count(_WORD_RE).astype("int64")
     n_punct = text.str.count(_PUNCT_RE).astype("int64")
+    n_nonspace = text.str.count(r"\S").astype("int64")
     punct_ratio = (n_punct / n_chars.clip(lower=1)).round(6)
-    mean_word_len = ((n_chars - n_tokens + 1).clip(lower=0) / n_tokens.clip(lower=1)).round(6)
+    mean_word_len = (n_nonspace / n_tokens.clip(lower=1)).round(6)
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],

@@ -1,0 +1,170 @@
+"""Stage: SHACL-style document validation (SURVEY.md M2/ST3).
+
+The reference optionally validates every harvested JSON-LD document
+against SHACL shapes via a long-lived gRPC validator service
+(reference userCode/lib/containers.py:44-48,81-87; service at
+Docker/Docker-compose.yaml:7-16), with ``--exit-on-shacl-failure``
+escalating violations to fatal.
+
+Ray-Data-first: the compiled shape set is worker-resident state — an
+actor pool (``map_batches(ShaclValidator, concurrency=...)``) or the
+task-mode broadcast cache — no network hop per document.  Output is a
+row-level ``valid:bool`` + ``violations:list<string>``; ``strict=True``
+reproduces exit-on-failure by raising on the first violating batch.
+
+The shape language is a pragmatic SHACL subset (what the Geoconnex
+shapes actually exercise): required properties, value datatype (uri /
+string / number), numeric ranges, and pattern constraints.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+@dataclass
+class PropertyShape:
+    path: str
+    required: bool = False
+    datatype: str | None = None  # "uri" | "string" | "number"
+    pattern: str | None = None
+    min_value: float | None = None
+    max_value: float | None = None
+    _rx: re.Pattern | None = field(default=None, repr=False)
+
+    def compile(self) -> "PropertyShape":
+        if self.pattern:
+            self._rx = re.compile(self.pattern)
+        return self
+
+    def check(self, node: dict, out: list[str]) -> None:
+        if self.path not in node:
+            if self.required:
+                out.append(f"missing:{self.path}")
+            return
+        vals = node[self.path]
+        for v in vals if isinstance(vals, list) else [vals]:
+            if isinstance(v, dict):
+                continue  # nested nodes validated separately
+            if self.datatype == "uri" and not (
+                isinstance(v, str) and (v.startswith("http://") or v.startswith("https://"))
+            ):
+                out.append(f"datatype:{self.path}:uri")
+            elif self.datatype == "number" and not isinstance(v, (int, float)):
+                out.append(f"datatype:{self.path}:number")
+            elif self.datatype == "string" and not isinstance(v, str):
+                out.append(f"datatype:{self.path}:string")
+            if self._rx and isinstance(v, str) and not self._rx.search(v):
+                out.append(f"pattern:{self.path}")
+            if self.min_value is not None and isinstance(v, (int, float)) and v < self.min_value:
+                out.append(f"min:{self.path}")
+            if self.max_value is not None and isinstance(v, (int, float)) and v > self.max_value:
+                out.append(f"max:{self.path}")
+
+
+#: the shape the synthetic Geoconnex-like feature documents must satisfy
+#: (mirrors the hyf:HY_HydroLocation payload asserted by the reference's
+#: golden tests, userCode/defs_test.py:104-130)
+HYDRO_LOCATION_SHAPE: tuple[PropertyShape, ...] = tuple(
+    s.compile()
+    for s in [
+        PropertyShape("@id", required=True, datatype="uri"),
+        PropertyShape("@type", required=True),
+        PropertyShape("schema:name", required=True, datatype="string"),
+        PropertyShape("schema:description", datatype="string"),
+        PropertyShape("owl:sameAs", datatype="uri"),
+    ]
+)
+
+GEO_SHAPE: tuple[PropertyShape, ...] = tuple(
+    s.compile()
+    for s in [
+        PropertyShape("schema:latitude", required=True, datatype="number",
+                      min_value=-90_000, max_value=90_000),
+        PropertyShape("schema:longitude", required=True, datatype="number",
+                      min_value=-180_000, max_value=180_000),
+    ]
+)
+
+
+def validate_doc(payload: str | None, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> list[str]:
+    """Violations for one extracted JSON-LD payload (empty = valid)."""
+    if payload is None:
+        return ["no-document"]
+    try:
+        doc = json.loads(payload)
+    except (ValueError, TypeError):
+        return ["parse-error"]
+    if not isinstance(doc, dict):
+        return ["not-an-object"]
+    out: list[str] = []
+    nodes = doc.get("@graph")
+    for node in nodes if isinstance(nodes, list) else [doc]:
+        if not isinstance(node, dict):
+            out.append("bad-node")
+            continue
+        is_edge_only = set(node.keys()) <= {"@id", "owl:sameAs"}
+        for shape in shapes:
+            if is_edge_only and shape.path not in node and shape.path != "@id":
+                continue  # bare sameAs edge nodes carry no payload
+            shape.check(node, out)
+        geo = node.get("schema:geo")
+        if isinstance(geo, dict):
+            for shape in geo_shapes:
+                shape.check(geo, out)
+    return out
+
+
+class ShaclValidator:
+    """Actor-pool / cached-task validation stage: shapes compiled once per
+    worker, documents checked per batch."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self.shapes = HYDRO_LOCATION_SHAPE
+        self.geo_shapes = GEO_SHAPE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["extracted"].to_pylist()
+        valid: list[bool] = []
+        violations: list[list[str]] = []
+        for p in payloads:
+            v = validate_doc(p, self.shapes, self.geo_shapes)
+            valid.append(not v)
+            violations.append(v)
+        if self.strict and not all(valid):
+            first = next(v for v in violations if v)
+            raise ValueError(f"SHACL violation (strict mode): {first[:3]}")
+        return batch.append_column("valid", pa.array(valid, pa.bool_())).append_column(
+            "violations", pa.array(violations, pa.list_(pa.large_string()))
+        )
+
+
+def validate_stage(
+    extracted: Dataset,
+    *,
+    strict: bool = False,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = 4096,
+) -> Dataset:
+    """Add valid/violations columns.  With ``concurrency`` set, runs as an
+    actor pool; otherwise stateless tasks (shapes are cheap to compile)."""
+    if concurrency is not None:
+        return extracted.map_batches(
+            ShaclValidator,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"strict": strict},
+            zero_copy_batch=True,
+        )
+    validator = ShaclValidator(strict=strict)
+    return extracted.map_batches(
+        validator, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

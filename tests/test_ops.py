@@ -1,0 +1,149 @@
+"""Tests for the training-data / relational operator families."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from scheduler_ray.stages import dedup as dd
+from scheduler_ray.stages import relational as rel
+from scheduler_ray.stages import similarity as sim
+from scheduler_ray.stages import textops as tx
+from scheduler_ray.stages.multimodal import MediaDecoder, media_metadata_batch
+from scheduler_ray.stages.validate import validate_doc
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts, "n_chars": [len(t) for t in texts]}))
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs(["aaa", "bbb", "aaa", "ccc", "bbb"], ids=[5, 2, 9, 1, 7])
+    out = dd.exact_dedup(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 5]
+
+
+def test_minhash_finds_near_dup_and_rejects_distinct():
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base + "extra tail"
+    other = "completely different content about rivers and dams " * 6
+    ds = _docs([base, near, other])
+    pairs = dd.minhash_lsh_pairs(ds, jaccard_threshold=0.8).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(0, 1)}
+
+
+def test_ngram_jaccard_pairs():
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    ds = _docs([base, base + "iota", "unrelated words entirely distinct tokens here okay"])
+    pairs = dd.ngram_jaccard_pairs(ds, n=3, threshold=0.6).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(0, 1)}
+
+
+def test_simhash_exact_copy_hamming_zero():
+    t = "one two three four five six seven eight nine ten"
+    out = dd.simhash_batch(pd.DataFrame({"doc_id": [0, 1], "text": [t, t]}))
+    assert out["simhash"][0] == out["simhash"][1]
+    pairs = dd.simhash_near_pairs(_docs([t, t, "zzz qqq www eee rrr ttt yyy uuu"])).to_pandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_token_and_quality():
+    out = tx.token_count_batch(pd.DataFrame({"doc_id": [0], "text": ["ab cd-ef 12"]}))
+    assert out["ws_tokens"][0] == 3  # 'ab', 'cd-ef', '12'
+    assert out["bpe_tokens"][0] == 5  # ab / cd / - / ef / 12
+    q = tx.quality_score_batch(pd.DataFrame({"doc_id": [0], "text": ["ab cd!"]}))
+    assert q["n_chars"][0] == 6 and q["n_tokens"][0] == 2
+    assert q["punct_ratio"][0] == round(1 / 6, 6)
+    assert q["mean_word_len"][0] == round(5 / 2, 6)
+
+
+def test_langid_stopword_profiles():
+    li = tx.LangId()
+    out = li(pd.DataFrame({"doc_id": [0, 1], "text": [
+        "the cat and the dog sat in the garden of the house",
+        "el perro y la casa de la ciudad en un parque",
+    ]}))
+    assert list(out["lang_pred"]) == ["en", "es"]
+
+
+def test_brute_force_topk_deterministic():
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    emb = rd.from_pandas(pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)}))
+    out = sim.brute_force_topk(emb, vecs[:2], k=5)
+    assert len(out) == 10
+    # the query vector itself is rank-1 with score ~1.0
+    first = out[out["query_id"] == 0].iloc[0]
+    assert first["vec_id"] == 0 and first["score"] > 0.999
+
+
+def test_lsh_ann_recall_vs_bruteforce():
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    corpus = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    idx = sim.LshAnnIndex(corpus, n_planes=6, n_tables=6)
+    hits = 0
+    for qi in range(10):
+        approx = set(idx.query(vecs[qi], k=5)["vec_id"])
+        exact_sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
+            vecs[qi] / np.linalg.norm(vecs[qi])
+        )
+        exact = set(np.argsort(-exact_sims)[:5])
+        hits += len(approx & exact)
+    assert hits >= 25  # ≥50% recall@5 with 6 tables on random data
+
+
+def test_broadcast_and_semi_join():
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": "a b c d".split()}))
+    small = pd.DataFrame({"k": [2, 4], "name": ["two", "four"]})
+    out = rel.broadcast_join(big, small, on="k").to_pandas().sort_values("k")
+    assert list(out["name"]) == ["two", "four"]
+    anti = rel.semi_join(big, np.array([2, 4]), on="k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3]
+
+
+def test_tumbling_and_sessions():
+    ts = pd.to_datetime(["2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 02:00"])
+    ev = rd.from_pandas(pd.DataFrame({"user_id": [1, 1, 1], "ts": ts.astype("datetime64[us]"), "value": [1.0, 2.0, 4.0]}))
+    w = rel.tumbling_window_agg(ev, window_s=3600).to_pandas().sort_values("window")
+    assert list(w["win_sum"]) == [3.0, 4.0]
+    s = rel.sessionize(ev, gap_s=3600).to_pandas()  # 40min gap < 1h keeps one session
+    assert len(s) == 2 and sorted(s["n_events"]) == [1, 2]
+
+
+def test_topk():
+    df = pd.DataFrame({"x": np.arange(100), "y": (np.arange(100) * 37) % 100})
+    out = rel.top_k(rd.from_pandas(df), "y", 5).to_pandas()
+    assert sorted(out["y"], reverse=True) == [99, 98, 97, 96, 95]
+
+
+def test_validate_doc_shapes():
+    good = '{"@id":"https://pids.geoconnex.dev/x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":5,"schema:longitude":6}}'
+    assert validate_doc(good) == []
+    assert validate_doc(None) == ["no-document"]
+    assert validate_doc("{bad") == ["parse-error"]
+    missing = '{"@id":"https://x/1","@type":"t"}'
+    assert "missing:schema:name" in validate_doc(missing)
+    bad_lat = '{"@id":"https://x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":99999999,"schema:longitude":0}}'
+    assert "max:schema:latitude" in validate_doc(bad_lat)
+
+
+def test_media_metadata_and_decoder():
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "html": pa.array([b"\x00\x01payload", b"other"], pa.binary()),
+    })
+    meta = media_metadata_batch(batch)
+    assert meta["n_bytes"].to_pylist() == [9, 5]
+    assert len(meta["sha256"][0].as_py()) == 64
+    dec = MediaDecoder(mode="fake")
+    out = dec(batch)
+    assert out.column_names == ["media_id", "width", "height", "features"]
+    assert len(out["features"][0].as_py()) == 16
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(mode="strict")(batch)
