@@ -1,0 +1,154 @@
+"""Checkpointed, resumable flagship run (north_rule: per-partition lineage
+manifests + metrics; resume skips unchanged partitions).
+
+Partition unit = source (the reference's sitemap partition — one release
+graph per source, reference release_graph_generator.py:31-83).  Flow:
+
+1. cheap metadata pass over pages (urls only — column-pruned read):
+   per-source row count + order-insensitive 64-bit input hash;
+2. compare against stored manifests → pending partitions;
+3. run the flagship pipeline on ONLY the pending pages (broadcast
+   source-set filter — a semi-join, no shuffle);
+4. write ``data/graph=<source>/`` per pending source (tmp + dir swap),
+   then the manifest (atomic, last) with
+   {input_hash, rows_in, triples_out, content_hash}.
+
+``content_hash`` is an order-insensitive sum of per-triple 64-bit hashes,
+computed distributed as a partial-aggregation groupby — reruns of
+unchanged input are byte-comparable without sorting anything.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..config import PipelineConfig
+from ..stages.extract import derive_source_batch
+from ..state import manifest as mf
+from . import flagship
+
+def _hash_col(s: pd.Series) -> np.ndarray:
+    """Per-row 32-bit content hashes as int64 — summable across millions of
+    rows without int64 overflow (order-insensitive change detection)."""
+    h = pd.util.hash_array(s.to_numpy(object))
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+
+def input_summary(fixture_dir: str) -> pd.DataFrame:
+    """Per-source (n_pages, input_hash) from a urls-only read."""
+    pages = rd.read_parquet(f"{fixture_dir}/pages", columns=["url"])
+    tagged = pages.map_batches(derive_source_batch, batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_col(b["url"])
+        out = pd.DataFrame({"source": b["source"], "h": h, "n": 1})
+        return out.groupby("source", as_index=False).agg(
+            hash_sum=("h", "sum"), n_pages=("n", "sum")
+        )
+
+    parts = tagged.map_batches(partial, batch_format="pandas")
+    agg = parts.groupby("source").aggregate(
+        Sum("hash_sum", alias_name="hash_sum"), Sum("n_pages", alias_name="n_pages")
+    ).to_pandas()
+    agg["input_hash"] = agg["hash_sum"].astype("int64").astype(str)
+    return agg[["source", "n_pages", "input_hash"]]
+
+
+def run_checkpointed(
+    fixture_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Run (or resume) the flagship pipeline with per-partition manifests.
+
+    Returns a summary {"completed": [...], "skipped": [...], "failed": []}.
+    """
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    summary = input_summary(fixture_dir)
+    hashes = dict(zip(summary["source"], summary["input_hash"]))
+    rows_in = dict(zip(summary["source"], summary["n_pages"]))
+    done = mf.completed_partitions(out_dir, hashes)
+    pending = [s for s in sorted(hashes) if s not in done]
+    if not pending:
+        return {"completed": [], "skipped": sorted(done), "failed": []}
+
+    registry, sources = flagship.load_side_tables(fixture_dir)
+    pages = flagship.read_pages(fixture_dir)
+    pending_ref = ray.put(set(pending))
+
+    def only_pending(b: pd.DataFrame) -> pd.DataFrame:
+        srcs = b["url"].str.extract(r"^https://[^/]+/([^/]+)/", expand=False)
+        return b[srcs.isin(ray.get(pending_ref))]
+
+    pages = pages.map_batches(only_pending, batch_format="pandas")
+    canon = flagship.canonical_triples(
+        pages, registry, sources, cfg,
+        index_cache_path=f"{fixture_dir}/registry_index.pkl",
+    )
+
+    # per-partition triple count + content hash (partial agg, no shuffle of
+    # the triple set)
+    def tri_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            _hash_col(b["subj"]) ^ (_hash_col(b["pred"]) << 1) ^ (_hash_col(b["obj"]) << 2)
+        ) & 0xFFFFFFFF
+        out = pd.DataFrame({"graph": b["graph"], "h": h, "n": 1})
+        return out.groupby("graph", as_index=False).agg(
+            content_sum=("h", "sum"), triples=("n", "sum")
+        )
+
+    canon = canon.materialize()
+    stats = (
+        canon.map_batches(tri_partial, batch_format="pandas")
+        .groupby("graph")
+        .aggregate(Sum("content_sum", alias_name="content_sum"), Sum("triples", alias_name="triples"))
+        .to_pandas()
+    )
+    stats["content_hash"] = stats["content_sum"].astype("int64").astype(str)
+    tri_count = dict(zip(stats["graph"], stats["triples"]))
+    content = dict(zip(stats["graph"], stats["content_hash"]))
+
+    # partitioned write: tmp dir → swap per-source dir → manifest last
+    tmp = os.path.join(out_dir, "_staging")
+    shutil.rmtree(tmp, ignore_errors=True)
+    canon.write_parquet(tmp, partition_cols=["graph"])
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    completed = []
+    for src in pending:
+        src_tmp = os.path.join(tmp, f"graph={src}")
+        src_dst = os.path.join(data_dir, f"graph={src}")
+        if not os.path.isdir(src_tmp):
+            # a source whose pages all had no/invalid JSON-LD still
+            # completes — with zero triples (exit-3-non-fatal semantics)
+            os.makedirs(src_dst, exist_ok=True)
+        else:
+            shutil.rmtree(src_dst, ignore_errors=True)
+            shutil.move(src_tmp, src_dst)
+        mf.write_manifest(
+            out_dir,
+            src,
+            {
+                "input_hash": hashes[src],
+                "rows_in": int(rows_in[src]),
+                "triples_out": int(tri_count.get(src, 0)),
+                "content_hash": content.get(src, "0"),
+            },
+        )
+        completed.append(src)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"completed": completed, "skipped": sorted(done), "failed": []}
+
+
+def read_output(out_dir: str) -> Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "data"))

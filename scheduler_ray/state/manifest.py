@@ -1,0 +1,76 @@
+"""Per-partition lineage manifests + checkpoint/resume (SURVEY.md ST6/S6).
+
+Generalizes the reference's ``.bytesum`` sidecar idempotency (reference
+userCode/defs_test.py:86-98 — unchanged release graphs are not re-pulled)
+and its crawl cleanup bookkeeping into explicit per-source-partition
+manifests:
+
+    out_dir/
+      data/graph=<source>/…parquet     (the partition's triples)
+      manifests/<source>.json          {partition_id, input_hash, rows_in,
+                                        triples_out, content_hash, …}
+
+A rerun skips every partition whose ``input_hash`` still matches the
+current input — the resume contract the north_rule requires.  Manifests
+are written last and atomically (tmp + rename), so a partition is either
+complete-with-manifest or will be redone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def manifest_path(out_dir: str, partition_id: str) -> str:
+    safe = sanitize_partition_id(partition_id)
+    return os.path.join(out_dir, "manifests", f"{safe}.json")
+
+
+def sanitize_partition_id(partition_id: str) -> str:
+    """Filesystem-safe partition label (M5 semantics: strip exotic chars,
+    ``:`` → ``-``, bounded length; reference userCode/lib/utils.py:25-41)."""
+    out = "".join(c if c.isalnum() or c in "-_." else "-" for c in partition_id)
+    return out[:63]
+
+
+def load_manifest(out_dir: str, partition_id: str) -> dict | None:
+    p = manifest_path(out_dir, partition_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(out_dir: str, partition_id: str, payload: dict) -> str:
+    p = manifest_path(out_dir, partition_id)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    payload = {"partition_id": partition_id, "written_at": time.time(), **payload}
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, p)
+    return p
+
+
+def completed_partitions(out_dir: str, input_hashes: dict[str, str]) -> set[str]:
+    """Partitions whose stored input_hash matches the current input —
+    these are skipped on resume (bytesum semantics)."""
+    done = set()
+    for pid, h in input_hashes.items():
+        m = load_manifest(out_dir, pid)
+        if m is not None and m.get("input_hash") == h:
+            done.add(pid)
+    return done
+
+
+def all_partitions_complete(out_dir: str, expected: set[str]) -> bool:
+    """The export barrier (J5 semantics: proceed only when every partition
+    is materialized; reference userCode/lib/dagster.py:62-84)."""
+    have = {
+        os.path.splitext(f)[0]
+        for f in os.listdir(os.path.join(out_dir, "manifests"))
+        if f.endswith(".json")
+    } if os.path.isdir(os.path.join(out_dir, "manifests")) else set()
+    return {sanitize_partition_id(p) for p in expected} <= have
