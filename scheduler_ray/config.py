@@ -57,6 +57,14 @@ class PipelineConfig:
     staging_dir: str | None = None
     #: final output partition column
     partition_col: str = "pred"
+    #: validate documents against the SHACL-subset shapes during expansion
+    #: (single parse; the reference's validate-during-harvest contract)
+    validate_docs: bool = True
+    #: final materialize: "ranged" = per-block (pred,subj) sort + hive
+    #: partition by pred (the distributed representation of a sorted graph:
+    #: range-partitioned files, each internally sorted — no all-to-all);
+    #: "global" = Ray's total sort before the partitioned write
+    sort_mode: str = "ranged"
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "PipelineConfig":

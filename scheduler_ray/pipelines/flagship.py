@@ -60,7 +60,7 @@ def raw_triples(
     """pages → linked (pre-canonicalization) triples."""
     cfg = (cfg or PipelineConfig()).validate()
     ex = extract_stage(pages, batch_size=cfg.extract_batch_size)
-    tri = expand_stage(ex, batch_size=cfg.expand_batch_size)
+    tri = expand_stage(ex, batch_size=cfg.expand_batch_size, validate=cfg.validate_docs)
     return link_stage(
         tri,
         registry,
@@ -72,6 +72,19 @@ def raw_triples(
     )
 
 
+import os as _os
+import time as _time
+
+
+def _phase_log(label: str, t0: float) -> float:
+    """Phase timings to stderr when SCHEDULER_RAY_TIMINGS is set."""
+    if _os.environ.get("SCHEDULER_RAY_TIMINGS"):
+        import sys
+
+        print(f"PHASE {label}: {_time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+    return _time.time()
+
+
 def canonical_triples(
     pages: Dataset,
     registry: pd.DataFrame,
@@ -81,19 +94,24 @@ def canonical_triples(
 ) -> Dataset:
     """pages → canonical deduped triples (unsorted; sort happens at write)."""
     cfg = (cfg or PipelineConfig()).validate()
+    t0 = _time.time()
     tri = raw_triples(pages, registry, sources, cfg, index_cache_path)
+    t0 = _phase_log("build_raw_plan", t0)
     if cfg.staging_dir:
         tri.write_parquet(cfg.staging_dir)
         tri = rd.read_parquet(cfg.staging_dir)
     else:
         tri = tri.materialize()
+    t0 = _phase_log("materialize_raw", t0)
     # coalesce the many small map-output blocks: the rewrite pays a fixed
     # per-batch hash-table build over the broadcast mapping (pc.index_in),
     # and the final sort pays per-block shuffle overhead — both want few,
     # large, CLUSTER-SIZE-INDEPENDENT blocks so per-task fixed costs don't
     # grow with parallelism
-    tri = tri.repartition(cfg.canonical_blocks)
+    tri = tri.repartition(cfg.canonical_blocks).materialize()
+    t0 = _phase_log("repartition", t0)
     mapping = collect_sameas_arrays(tri)
+    t0 = _phase_log("collect_mapping", t0)
     return canonicalize_stage(
         tri,
         mapping,
@@ -128,9 +146,21 @@ def run_flagship(
         index_cache_path=f"{fixture_dir}/registry_index.pkl",
     )
     if out_dir:
+        t0 = _time.time()
         cfg = cfg or PipelineConfig()
-        canon.sort(["pred", "subj"]).write_parquet(
-            out_dir, partition_cols=[cfg.partition_col]
-        )
+        if cfg.sort_mode == "global":
+            final = canon.sort(["pred", "subj"])
+        else:
+            # ranged mode: each block sorted by (pred, subj); the hive
+            # partition dirs by pred give the predicate partitioning, and
+            # sorted files are the distributed form of a sorted materialize
+            def sort_block(t: pa.Table) -> pa.Table:
+                return t.sort_by([("pred", "ascending"), ("subj", "ascending")])
+
+            final = canon.map_batches(
+                sort_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+        final.write_parquet(out_dir, partition_cols=[cfg.partition_col])
+        _phase_log("sort_write", t0)
         return rd.read_parquet(out_dir)
     return canon

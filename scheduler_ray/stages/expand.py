@@ -73,8 +73,17 @@ def _emit_node(node: dict, graph: str, out: list) -> None:
                 out.append((subj, key, s, not (isinstance(v, str) and _is_uri(s)), graph))
 
 
-def expand_triples_batch(batch: pa.Table) -> pa.Table:
-    """(source, extracted, …) → triple rows.  Zero rows for null/bad docs."""
+def expand_triples_batch(batch: pa.Table, validate: bool = False) -> pa.Table:
+    """(source, extracted, …) → triple rows.  Zero rows for null/bad docs.
+
+    With ``validate=True`` each parsed document is also checked against the
+    SHACL-subset shapes (single parse — validation rides on expansion, the
+    fused form of the reference's validate-during-harvest contract,
+    userCode/lib/containers.py:44-48); shape-violating documents emit no
+    triples.
+    """
+    if validate:
+        from .validate import GEO_SHAPE, HYDRO_LOCATION_SHAPE, validate_parsed
     rows: list = []
     extracted = batch["extracted"].to_pylist()
     sources = batch["source"].to_pylist()
@@ -86,6 +95,8 @@ def expand_triples_batch(batch: pa.Table) -> pa.Table:
         except (ValueError, TypeError):
             continue
         if not isinstance(doc, dict):
+            continue
+        if validate and validate_parsed(doc, HYDRO_LOCATION_SHAPE, GEO_SHAPE):
             continue
         nodes = doc.get("@graph")
         for node in nodes if isinstance(nodes, list) else [doc]:
@@ -122,9 +133,14 @@ def expansion_metrics_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def expand_stage(extracted: Dataset, *, batch_size: int = 4096) -> Dataset:
+def expand_stage(
+    extracted: Dataset, *, batch_size: int = 4096, validate: bool = False
+) -> Dataset:
+    import functools
+
+    fn = functools.partial(expand_triples_batch, validate=validate)
     return extracted.map_batches(
-        expand_triples_batch,
+        fn,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -101,6 +101,12 @@ def validate_doc(payload: str | None, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GE
         doc = json.loads(payload)
     except (ValueError, TypeError):
         return ["parse-error"]
+    return validate_parsed(doc, shapes, geo_shapes)
+
+
+def validate_parsed(doc, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> list[str]:
+    """Violations for an already-parsed JSON-LD document (single-parse path
+    for the fused expand+validate stage)."""
     if not isinstance(doc, dict):
         return ["not-an-object"]
     out: list[str] = []
