@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "embed_neardup": q.q_embed_neardup,
         "label_counts": q.q_label_counts,
+        # exports / spatial / multimodal
+        "feature_table": q.q_feature_table,
+        "spatial_join": q.q_spatial_join,
+        "mm_metadata": q.q_mm_metadata,
     }
 
 
@@ -178,4 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": q.SQL_ANN_TOPK,
         "embed_neardup": q.SQL_EMBED_NEARDUP,
         "label_counts": q.SQL_LABEL_COUNTS,
+        "feature_table": q.sql_feature_table(),
+        "spatial_join": q.SQL_SPATIAL_JOIN,
+        "mm_metadata": q.sql_mm_metadata(),
     }

@@ -458,3 +458,100 @@ def sql_kg_validate() -> str:
         f"SELECT {URL} AS url, "
         "(doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS valid FROM documents"
     )
+
+
+# ------------------------------------------------- exports / spatial / mm
+def q_feature_table(sf_dir: str):
+    """GeoParquet-shaped feature table (S8): pivot of the canonical graph
+    to one row per subject with name/description/bbox columns (geometry
+    and hilbert key excluded here — not SQL-reconstructable)."""
+    from . import export as ex
+    from . import flagship
+    from ..corpus import ensure_pages_fixture
+
+    fx = ensure_pages_fixture(sf_dir)
+    canon = flagship.run_flagship(fx)
+    feats = ex.feature_table(canon)
+    return feats.select_columns(
+        ["id", "geoconnex_sitemap", "feature_name", "feature_description",
+         "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"]
+    )
+
+
+def sql_feature_table() -> str:
+    from ..oracles import DESC, LAT, LON, NAME, PID, VALID
+
+    return f"""
+SELECT {PID} AS id, source AS geoconnex_sitemap, {NAME} AS feature_name,
+       {DESC} AS feature_description,
+       CAST({LON} AS DOUBLE) / 1000.0 AS bbox_xmin,
+       CAST({LAT} AS DOUBLE) / 1000.0 AS bbox_ymin,
+       CAST({LON} AS DOUBLE) / 1000.0 AS bbox_xmax,
+       CAST({LAT} AS DOUBLE) / 1000.0 AS bbox_ymax
+FROM documents WHERE {VALID}
+"""
+
+
+def q_spatial_join(sf_dir: str):
+    """bbox containment join (J1's spatial flavor): each document's point
+    probes the broadcast grid-bucketed registry bboxes."""
+    from ..corpus import registry_from_documents
+    from ..stages.spatial import bbox_contains_join
+
+    docs = _read(sf_dir, "documents")
+
+    def to_points(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "x": ((b["doc_id"] * 37) % 180000 - 90000) / 1000.0,
+                "y": ((b["doc_id"] * 53) % 360000 - 180000) / 1000.0,
+            }
+        )
+
+    points = docs.map_batches(to_points, batch_format="pandas")
+    boxes = registry_from_documents(docs.to_pandas())
+    out = bbox_contains_join(points, boxes[["id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"]])
+    return out.select_columns(["doc_id", "box_id"])
+
+
+SQL_SPATIAL_JOIN = """
+SELECT p.doc_id AS doc_id,
+       'https://pids.geoconnex.dev/' || b.source || '/' || CAST(b.doc_id AS VARCHAR) AS box_id
+FROM documents p CROSS JOIN documents b
+WHERE ((p.doc_id*37) % 180000 - 90000) / 1000.0
+        BETWEEN ((b.doc_id*37) % 180000 - 90000) / 1000.0
+            AND ((b.doc_id*37) % 180000 - 90000) / 1000.0 + 0.01
+  AND ((p.doc_id*53) % 360000 - 180000) / 1000.0
+        BETWEEN ((b.doc_id*53) % 360000 - 180000) / 1000.0
+            AND ((b.doc_id*53) % 360000 - 180000) / 1000.0 + 0.01
+"""
+
+
+def q_mm_metadata(sf_dir: str):
+    """Multimodal metadata over the opaque binary payload column (the
+    pages' html stands in for media bytes): byte length + sha256."""
+    from ..corpus import ensure_pages_fixture
+    from ..stages.multimodal import media_metadata_stage
+    from . import flagship
+
+    fx = ensure_pages_fixture(sf_dir)
+    pages = flagship.read_pages(fx, columns=["url", "html"])
+    return media_metadata_stage(pages)
+
+
+def sql_mm_metadata() -> str:
+    from ..oracles import D, EXTRACTED, URL
+
+    html = (
+        f"'<html><head><title>Feature ' || {D} || '</title>' || "
+        f"COALESCE('<script type=\"application/ld+json\">' || ({EXTRACTED}) || '</script>', '') || "
+        "'</head><body><p>' || text || '</p></body></html>'"
+    )
+    return f"""
+SELECT {URL} AS media_id,
+       octet_length(encode({html})) AS n_bytes,
+       sha256({html}) AS sha256,
+       'application/octet-stream' AS media_type
+FROM documents
+"""

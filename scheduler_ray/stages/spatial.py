@@ -1,0 +1,116 @@
+"""Spatial operators: bbox containment join + Hilbert spatial sort key.
+
+The reference's flagship join associates each feature's geometry with its
+mainstem by spatial lookup against the hydrofabric (SURVEY.md J1;
+reference release_graph_generator.py:41-83), and its GeoParquet export
+Hilbert-sorts rows for locality (SURVEY.md O2; reference
+export.py:147-152).  Both are reimplemented Ray-Data-first:
+
+* **bbox join**: the (small) bbox table is grid-bucketed once on the
+  driver and broadcast; each batch of points probes only its grid cells —
+  a broadcast spatial join, no shuffle.
+* **Hilbert key**: pure-numpy d2xy Hilbert-curve index at a configurable
+  order, usable as a sort key for locality-preserving output.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+import ray
+from ray.data import Dataset
+
+
+class GridBBoxIndex:
+    """Uniform-grid index over bboxes (broadcast small side of J1).
+
+    Cell size = the p95 bbox diagonal (so most boxes span few cells).
+    """
+
+    def __init__(self, boxes: pd.DataFrame, id_col: str = "id", cell: float | None = None):
+        self.ids = boxes[id_col].to_numpy()
+        self.xmin = boxes["bbox_xmin"].to_numpy(np.float64)
+        self.ymin = boxes["bbox_ymin"].to_numpy(np.float64)
+        self.xmax = boxes["bbox_xmax"].to_numpy(np.float64)
+        self.ymax = boxes["bbox_ymax"].to_numpy(np.float64)
+        if cell is None:
+            diag = np.maximum(self.xmax - self.xmin, self.ymax - self.ymin)
+            cell = max(float(np.percentile(diag, 95)) if len(diag) else 1.0, 1e-9) * 4
+        self.cell = cell
+        self.grid: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i in range(len(self.ids)):
+            for cx in range(int(self.xmin[i] // cell), int(self.xmax[i] // cell) + 1):
+                for cy in range(int(self.ymin[i] // cell), int(self.ymax[i] // cell) + 1):
+                    self.grid[(cx, cy)].append(i)
+
+    def query_points(self, xs: np.ndarray, ys: np.ndarray) -> list[list[int]]:
+        """Row indices of boxes containing each point (inclusive edges)."""
+        out: list[list[int]] = []
+        for x, y in zip(xs, ys):
+            cands = self.grid.get((int(x // self.cell), int(y // self.cell)), ())
+            hits = [
+                i
+                for i in cands
+                if self.xmin[i] <= x <= self.xmax[i] and self.ymin[i] <= y <= self.ymax[i]
+            ]
+            out.append(hits)
+        return out
+
+
+def bbox_contains_join(
+    points: Dataset,
+    boxes: pd.DataFrame,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> Dataset:
+    """Inner join: each point row × every box containing it (broadcast)."""
+    idx_ref = ray.put(GridBBoxIndex(boxes, id_col=id_col))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        idx: GridBBoxIndex = ray.get(idx_ref)
+        hits = idx.query_points(
+            b[x_col].to_numpy(np.float64), b[y_col].to_numpy(np.float64)
+        )
+        rows, box_ids = [], []
+        for r, hs in enumerate(hits):
+            for i in hs:
+                rows.append(r)
+                box_ids.append(idx.ids[i])
+        out = b.iloc[rows].reset_index(drop=True)
+        out["box_id"] = box_ids
+        return out
+
+    return points.map_batches(probe, batch_format="pandas")
+
+
+def hilbert_index(xs: np.ndarray, ys: np.ndarray, order: int = 16,
+                  bounds: tuple[float, float, float, float] = (-180, -90, 180, 90)) -> np.ndarray:
+    """Vectorized Hilbert-curve index (xy2d) at 2^order × 2^order
+    resolution — the locality-preserving sort key the reference's
+    GeoParquet export uses (`.sort_hilbert()`, reference export.py:147-152)."""
+    x0, y0, x1, y1 = bounds
+    n = 1 << order
+    x = np.clip(((xs - x0) / (x1 - x0) * n).astype(np.int64), 0, n - 1)
+    y = np.clip(((ys - y0) / (y1 - y0) * n).astype(np.int64), 0, n - 1)
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x[flip], y[flip] = s - 1 - x_f[flip], s - 1 - y_f[flip]
+        x_s = x.copy()
+        x[swap], y[swap] = y[swap], x_s[swap]
+        s //= 2
+    return d

@@ -147,3 +147,58 @@ def test_media_metadata_and_decoder():
     assert len(out["features"][0].as_py()) == 16
     with pytest.raises(NotImplementedError):
         MediaDecoder(mode="strict")(batch)
+
+
+def test_hilbert_index_locality_and_range():
+    from scheduler_ray.stages.spatial import hilbert_index
+
+    xs = np.array([-180.0, 0.0, 179.99])
+    ys = np.array([-90.0, 0.0, 89.99])
+    d = hilbert_index(xs, ys, order=8)
+    assert d.min() >= 0 and d.max() < (1 << 16)
+    # locality: two nearby points are closer on the curve than two far ones
+    near = abs(
+        hilbert_index(np.array([10.0]), np.array([10.0]), order=12)[0]
+        - hilbert_index(np.array([10.01]), np.array([10.01]), order=12)[0]
+    )
+    far = abs(
+        hilbert_index(np.array([10.0]), np.array([10.0]), order=12)[0]
+        - hilbert_index(np.array([-120.0]), np.array([-60.0]), order=12)[0]
+    )
+    assert near < far
+
+
+def test_bbox_join_and_wkb():
+    import struct
+
+    from scheduler_ray.pipelines.export import wkb_point
+    from scheduler_ray.stages.spatial import bbox_contains_join
+
+    boxes = pd.DataFrame(
+        {
+            "id": ["a", "b"],
+            "bbox_xmin": [0.0, 10.0],
+            "bbox_ymin": [0.0, 10.0],
+            "bbox_xmax": [1.0, 11.0],
+            "bbox_ymax": [1.0, 11.0],
+        }
+    )
+    pts = rd.from_pandas(pd.DataFrame({"pid": [1, 2, 3], "x": [0.5, 10.5, 50.0], "y": [0.5, 10.5, 50.0]}))
+    out = bbox_contains_join(pts, boxes).to_pandas().sort_values("pid")
+    assert list(zip(out["pid"], out["box_id"])) == [(1, "a"), (2, "b")]
+    w = wkb_point(1.5, -2.5)
+    assert w[0] == 1 and struct.unpack("<I", w[1:5])[0] == 1
+    assert struct.unpack("<dd", w[5:]) == (1.5, -2.5)
+
+
+def test_feature_table_pivot(fixture_sf0001):
+    from scheduler_ray.pipelines import export as ex
+    from scheduler_ray.pipelines import flagship
+
+    canon = flagship.run_flagship(fixture_sf0001)
+    feats = ex.feature_table(canon).to_pandas()
+    assert len(feats) == 445  # one row per valid subject
+    row = feats[feats["id"] == "https://pids.geoconnex.dev/src1/1"].iloc[0]
+    assert row["feature_name"] == "Feature 1"
+    assert row["bbox_ymin"] == ((1 * 37) % 180000 - 90000) / 1000.0
+    assert row["geometry"][:1] == b"\x01" and "hilbert" in feats
