@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_table": q.q_feature_table,
         "spatial_join": q.q_spatial_join,
         "mm_metadata": q.q_mm_metadata,
+        "event_props": q.q_event_props,
     }
 
 
@@ -185,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
         "feature_table": q.sql_feature_table(),
         "spatial_join": q.SQL_SPATIAL_JOIN,
         "mm_metadata": q.sql_mm_metadata(),
+        "event_props": q.SQL_EVENT_PROPS,
     }

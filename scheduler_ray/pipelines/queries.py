@@ -555,3 +555,28 @@ SELECT {URL} AS media_id,
        'application/octet-stream' AS media_type
 FROM documents
 """
+
+
+def q_event_props(sf_dir: str):
+    """F6: per-row JSON parse with fallback — extract props.k (invalid →
+    null), vectorized per batch."""
+    import json
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for p in b["props"]:
+            try:
+                v = json.loads(p).get("k")
+                ks.append(int(v) if v is not None else None)
+            except (ValueError, TypeError, AttributeError):
+                ks.append(None)
+        return pd.DataFrame({"event_id": b["event_id"], "k": pd.array(ks, dtype="Int64")})
+
+    return ev.map_batches(parse, batch_format="pandas")
+
+
+SQL_EVENT_PROPS = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
