@@ -133,17 +133,30 @@ def load_side_tables(fixture_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return registry, sources
 
 
+def load_sources_only(fixture_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{fixture_dir}/sources.parquet").to_pandas()
+
+
 def run_flagship(
     fixture_dir: str,
     out_dir: str | None = None,
     cfg: PipelineConfig | None = None,
 ) -> Dataset:
     """End-to-end: fixture dir → canonical triples (written if out_dir)."""
-    registry, sources = load_side_tables(fixture_dir)
+    import os
+
+    cache = f"{fixture_dir}/registry_index.pkl"
+    # with a warm index cache the (possibly huge) registry frame is never
+    # loaded — the lazy parquet path goes straight to the cache check
+    registry = f"{fixture_dir}/registry.parquet" if os.path.exists(cache) else None
+    if registry is None:
+        registry, sources = load_side_tables(fixture_dir)
+    else:
+        sources = load_sources_only(fixture_dir)
     pages = read_pages(fixture_dir)
     canon = canonical_triples(
         pages, registry, sources, cfg,
-        index_cache_path=f"{fixture_dir}/registry_index.pkl",
+        index_cache_path=cache,
     )
     if out_dir:
         t0 = _time.time()

@@ -162,16 +162,29 @@ class RegistryIndex:
         return pids[0], mainstems[0]
 
 
-def build_or_load_index(registry: pd.DataFrame, cache_path: str | None = None) -> RegistryIndex:
+def build_or_load_index(
+    registry: "pd.DataFrame | str | None", cache_path: str | None = None
+) -> RegistryIndex:
     """Build the index, or load/store a pickle cache (the ``.bytesum``-style
     skip-if-unchanged idea from the reference, applied to derived state;
-    reference userCode/defs_test.py:86-98)."""
+    reference userCode/defs_test.py:86-98).
+
+    ``registry`` may be a DataFrame, a parquet path (loaded lazily only on
+    cache miss — callers with a warm cache never pay the registry read),
+    or None (cache must exist).
+    """
     import os
     import pickle
 
     if cache_path and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
             return pickle.load(f)
+    if registry is None:
+        raise FileNotFoundError(f"registry index cache missing: {cache_path}")
+    if isinstance(registry, str):
+        import pyarrow.parquet as pq
+
+        registry = pq.read_table(registry).to_pandas()
     idx = RegistryIndex(registry)
     if cache_path:
         tmp = cache_path + ".tmp"
