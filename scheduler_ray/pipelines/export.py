@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
 import pandas as pd
 
 from ray.data import Dataset

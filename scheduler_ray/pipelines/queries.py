@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages import dedup as dd
 from ..stages import relational as rel

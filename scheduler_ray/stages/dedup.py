@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import AggregateFn, Count, Min
+from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
 

@@ -15,7 +15,7 @@ import pandas as pd
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Sum
 
 
 def broadcast_join(
