@@ -176,8 +176,26 @@ def collect_sameas_arrays(triples: Dataset):
     empty = pa.array([], pa.large_string())
     if not len(pdf):
         return empty, empty
-    # everything below is integer-coded: one factorize, then pure numpy
     nodes_np, roots_np = pdf["node"].to_numpy(), pdf["root"].to_numpy()
+    # fast path: when every node appears exactly once (the common case —
+    # a document's sameAs cluster lives in one batch) and no canon is
+    # itself aliased, the pairs ARE the mapping.  Both conditions are
+    # checked with 64-bit hashes; any suspicion (including a hash
+    # collision) falls through to the exact factorize-based merge below.
+    hn = pd.util.hash_array(nodes_np)
+    hr = pd.util.hash_array(roots_np)
+    hn_sorted = np.sort(hn)
+    no_dups = bool((hn_sorted[1:] != hn_sorted[:-1]).all()) if len(hn) > 1 else True
+    if no_dups:
+        pos = np.searchsorted(hn_sorted, hr)
+        pos_c = np.clip(pos, 0, len(hn_sorted) - 1)
+        chained = hn_sorted[pos_c] == hr
+        if not chained.any():
+            return (
+                pa.array(nodes_np, pa.large_string()),
+                pa.array(roots_np, pa.large_string()),
+            )
+    # exact path: integer-coded via one factorize, then pure numpy
     codes, uniq = pd.factorize(np.concatenate([nodes_np, roots_np]))
     n_pairs = len(nodes_np)
     a, b = codes[:n_pairs].astype(np.int64), codes[n_pairs:].astype(np.int64)
