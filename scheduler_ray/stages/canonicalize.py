@@ -133,11 +133,12 @@ def _merge_pairs_idx(nodes, roots, max_iters: int = 16):
     n_edges = len(nodes)
     a, b = codes[:n_edges], codes[n_edges:]
     not_pid = ~pd.Series(uniq).str.startswith(PID_PREFIX).to_numpy()
-    # rank PIDs first; ties broken by a stable 64-bit content hash — a
-    # deterministic (cross-process) choice that avoids sorting millions of
-    # URI strings lexicographically on the driver
-    h = pd.util.hash_array(uniq.astype(object))
-    order = np.lexsort((h, not_pid))
+    # rank PIDs first, lexicographic within rank — matches the per-batch
+    # combiner's choice so cross-batch clusters (incl. the pathological
+    # two-PID cluster) land on the same canonical everywhere.  This exact
+    # path only sees conflict subsets (the hash fast path handles the
+    # bulk), so string sorting here is cheap.
+    order = np.lexsort((uniq, not_pid))
     pri = np.empty(len(uniq), np.int64)
     pri[order] = np.arange(len(uniq))
     lab = pri.copy()
