@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join": q.q_spatial_join,
         "mm_metadata": q.q_mm_metadata,
         "event_props": q.q_event_props,
+        "kg_error_metrics": q.q_kg_error_metrics,
     }
 
 
@@ -187,4 +188,5 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": q.SQL_SPATIAL_JOIN,
         "mm_metadata": q.sql_mm_metadata(),
         "event_props": q.SQL_EVENT_PROPS,
+        "kg_error_metrics": q.SQL_KG_ERROR_METRICS,
     }

@@ -580,3 +580,33 @@ def q_event_props(sf_dir: str):
 SQL_EVENT_PROPS = """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 """
+
+
+def q_kg_error_metrics(sf_dir: str):
+    """M6/A3 lineage metrics: corpus-wide page / no-jsonld / parse-error
+    counts via per-batch partial counters (the exit-3 non-fatal
+    accounting the manifests carry per partition)."""
+    from ..corpus import ensure_pages_fixture
+    from ..stages.expand import expansion_metrics_batch
+    from ..stages.extract import extract_stage
+    from . import flagship
+
+    fx = ensure_pages_fixture(sf_dir)
+    ex = extract_stage(flagship.read_pages(fx))
+    partials = ex.map_batches(expansion_metrics_batch, batch_format="pyarrow")
+    df = partials.to_pandas()
+    return pd.DataFrame(
+        {
+            "pages": [int(df["pages"].sum())],
+            "no_jsonld": [int(df["no_jsonld"].sum())],
+            "parse_errors": [int(df["parse_errors"].sum())],
+        }
+    )
+
+
+SQL_KG_ERROR_METRICS = """
+SELECT COUNT(*) AS pages,
+       SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS no_jsonld,
+       SUM(CASE WHEN doc_id % 17 <> 0 AND doc_id % 19 = 0 THEN 1 ELSE 0 END) AS parse_errors
+FROM documents
+"""

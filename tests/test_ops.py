@@ -202,3 +202,27 @@ def test_feature_table_pivot(fixture_sf0001):
     assert row["feature_name"] == "Feature 1"
     assert row["bbox_ymin"] == ((1 * 37) % 180000 - 90000) / 1000.0
     assert row["geometry"][:1] == b"\x01" and "hilbert" in feats
+
+
+def test_validate_stage_strict_raises(fixture_sf0001):
+    """--exit-on-shacl-failure semantics: strict mode fails the job on the
+    first violating batch (malformed docs exist in the corpus)."""
+    import ray
+    from scheduler_ray.pipelines import flagship
+    from scheduler_ray.stages.extract import extract_stage
+    from scheduler_ray.stages.validate import validate_stage
+
+    ex = extract_stage(flagship.read_pages(fixture_sf0001))
+    strict = validate_stage(ex, strict=True)
+    with pytest.raises(ray.exceptions.RayTaskError):
+        strict.count()
+
+
+def test_validate_stage_actor_mode(fixture_sf0001):
+    from scheduler_ray.pipelines import flagship
+    from scheduler_ray.stages.extract import extract_stage
+    from scheduler_ray.stages.validate import validate_stage
+
+    ex = extract_stage(flagship.read_pages(fixture_sf0001))
+    out = validate_stage(ex, concurrency=(1, 2)).to_pandas()
+    assert out["valid"].sum() == 445  # = parseable, shape-conforming docs
