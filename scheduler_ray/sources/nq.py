@@ -50,32 +50,80 @@ def triple_to_nq(subj: str, pred: str, obj: str, is_literal: bool, graph: str) -
     return f"{s} {p} {o} {g} ."
 
 
-def write_release_graphs(triples: Dataset, out_dir: str) -> pd.DataFrame:
+def _source_path(graphs_dir: str, source: str, salt: int | None = None) -> str:
+    safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in source)
+    if salt is None:
+        return os.path.join(graphs_dir, f"{safe}_release.nq.gz")
+    return os.path.join(graphs_dir, f".{safe}.part{salt:04d}.gz")
+
+
+def _gzip_lines(lines: list[str]) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    # mtime=0 → byte-identical gzip output across reruns (the analogue of
+    # the reference's bytesum idempotency check)
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(("\n".join(lines) + "\n").encode() if lines else b"")
+    return buf.getvalue()
+
+
+def write_release_graphs(
+    triples: Dataset, out_dir: str, *, salt_factor: int = 0, hot_fraction: float = 0.2
+) -> pd.DataFrame:
     """triples → ``{out_dir}/graphs/latest/<source>_release.nq.gz`` per
-    source.  Returns a summary frame (source, n_quads, path)."""
+    source.  Returns a summary frame (source, n_quads, path).
+
+    With ``salt_factor > 0``, hot sources (> ``hot_fraction`` of rows) are
+    split into salted sub-groups written as independent gzip *members*
+    and concatenated in salt order — still one valid ``.nq.gz`` per source
+    (gzip members concatenate), but the heaviest source no longer runs as
+    one giant group task (SURVEY.md §4 skew handling).
+    """
     graphs_dir = os.path.join(out_dir, "graphs", "latest")
     os.makedirs(graphs_dir, exist_ok=True)
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+    def render(g: pd.DataFrame, salt: int | None) -> pd.DataFrame:
         source = g["graph"].iloc[0]
         g = g.sort_values(["pred", "subj", "obj"])  # deterministic bytes
         lines = [
             triple_to_nq(s, p, o, lit, source)
             for s, p, o, lit in zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
         ]
-        safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in source)
-        path = os.path.join(graphs_dir, f"{safe}_release.nq.gz")
-        # mtime=0 → byte-identical gzip output across reruns (the analogue
-        # of the reference's bytesum idempotency check)
+        path = _source_path(graphs_dir, source, salt)
         with open(path, "wb") as f:
-            with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
-                gz.write(("\n".join(lines) + "\n").encode())
+            f.write(_gzip_lines(lines))
         return pd.DataFrame({"source": [source], "n_quads": [len(lines)], "path": [path]})
 
-    return (
-        triples.groupby("graph")
-        .map_groups(write_group, batch_format="pandas")
-        .to_pandas()
-        .sort_values("source")
-        .reset_index(drop=True)
-    )
+    if salt_factor <= 0:
+        out = (
+            triples.groupby("graph")
+            .map_groups(lambda g: render(g, None), batch_format="pandas")
+            .to_pandas()
+        )
+        return out.sort_values("source").reset_index(drop=True)
+
+    from ..stages.skew import detect_hot_keys, salted_map_groups
+
+    hot = detect_hot_keys(triples, "graph", hot_fraction=hot_fraction)
+    parts = salted_map_groups(
+        triples,
+        "graph",
+        lambda g: render(g, int(g["salt"].iloc[0]) if g["graph"].iloc[0] in set(hot) else None),
+        hot_keys=hot,
+        factor=salt_factor,
+    ).to_pandas()
+    # concatenate salted members (salt order) into the final per-source file
+    summary = []
+    for source, grp in parts.groupby("source"):
+        paths = sorted(grp["path"])
+        final = _source_path(graphs_dir, source)
+        member_paths = [p for p in paths if p != final]
+        if member_paths:
+            with open(final, "wb") as f:
+                for p in member_paths:
+                    with open(p, "rb") as m:
+                        f.write(m.read())
+                    os.remove(p)
+        summary.append({"source": source, "n_quads": int(grp["n_quads"].sum()), "path": final})
+    return pd.DataFrame(summary).sort_values("source").reset_index(drop=True)

@@ -112,11 +112,26 @@ class MinHasher:
         return np.stack([self.signature(t) for t in texts])
 
 
+def lsh_params(threshold: float, n_perm: int = 64, max_miss: float = 1e-6) -> tuple[int, int]:
+    """Derive (bands, rows_per_band) from the verify threshold: the widest
+    rows-per-band whose miss probability at exactly ``threshold`` —
+    (1 - t^r)^(n_perm/r) — stays under ``max_miss`` (more rows per band =
+    fewer spurious candidates to verify)."""
+    best = (n_perm, 1)
+    for r in (1, 2, 4, 8, 16):
+        if n_perm % r:
+            continue
+        b = n_perm // r
+        if (1 - threshold**r) ** b <= max_miss:
+            best = (b, r)
+    return best
+
+
 def minhash_lsh_pairs(
     docs: Dataset,
     *,
     n_perm: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     k: int = 5,
     jaccard_threshold: float = 0.8,
     mode: str = "char",
@@ -132,8 +147,11 @@ def minhash_lsh_pairs(
     so the verified output equals the exact ≥-threshold pair set for
     practical purposes (the DuckDB oracle computes that set exhaustively).
     ``mode='word'`` shingles on word n-grams of size ``k`` instead of
-    character k-grams.
+    character k-grams.  With ``bands=None`` the banding is derived from
+    the threshold via :func:`lsh_params`.
     """
+    if bands is None:
+        bands, _ = lsh_params(jaccard_threshold, n_perm)
     rows_per_band = n_perm // bands
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -249,8 +267,8 @@ def ngram_jaccard_pairs(
     docs: Dataset, *, n: int = 3, threshold: float = 0.6
 ) -> Dataset:
     """Word-n-gram Jaccard near-dup pairs: MinHash-LSH banding over word
-    n-grams (32 bands × 2 rows → P(miss | j≥0.6) = (1-j²)^32 ≤ 6e-7),
+    n-grams (banding auto-derived from the threshold, P(miss) ≤ 1e-6),
     verified with exact n-gram-set Jaccard."""
     return minhash_lsh_pairs(
-        docs, n_perm=64, bands=32, k=n, jaccard_threshold=threshold, mode="word"
+        docs, n_perm=64, k=n, jaccard_threshold=threshold, mode="word"
     )

@@ -83,3 +83,32 @@ def test_nq_writer_deterministic(fixture_sf0001, tmp_out):
 def test_expand_curie():
     assert nq.expand_curie("rdf:type") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     assert nq.expand_curie("https://x/y") == "https://x/y"
+
+
+def test_nq_writer_salted_equivalent(fixture_sf0001, tmp_out):
+    """Salted (gzip-member) output decompresses to the same quad multiset
+    as the unsalted file for the hot sources."""
+    import gzip as _gz
+    import os as _os
+
+    from scheduler_ray.pipelines import flagship
+
+    canon = flagship.run_flagship(fixture_sf0001).materialize()
+    s_plain = nq.write_release_graphs(canon, _os.path.join(tmp_out, "plain"))
+    s_salted = nq.write_release_graphs(
+        canon, _os.path.join(tmp_out, "salted"), salt_factor=4, hot_fraction=0.02
+    )
+    assert list(s_plain["n_quads"]) == list(s_salted["n_quads"])
+    for p_plain, p_salt in zip(s_plain["path"], s_salted["path"]):
+        a = sorted(_gz.decompress(open(p_plain, "rb").read()).decode().splitlines())
+        b = sorted(_gz.decompress(open(p_salt, "rb").read()).decode().splitlines())
+        assert a == b
+
+
+def test_lsh_params():
+    from scheduler_ray.stages.dedup import lsh_params
+
+    assert lsh_params(0.8, 64) == (32, 2)
+    assert lsh_params(0.6, 64) == (32, 2)
+    b, r = lsh_params(0.95, 64)
+    assert b * r == 64 and (1 - 0.95**r) ** b <= 1e-6 and r >= 4
