@@ -33,6 +33,7 @@ except the mapping becomes a broadcast-joined small table per partition.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -103,8 +104,19 @@ def sameas_edges_batch(batch: pa.Table) -> pa.Table:
             if m != canon:
                 nodes.append(m)
                 roots.append(canon)
+    import pandas as pd
+
+    node_hash = pd.util.hash_array(np.array(nodes, dtype=object)) if nodes else np.array([], np.uint64)
+    root_hash = pd.util.hash_array(np.array(roots, dtype=object)) if roots else np.array([], np.uint64)
+    # hashes computed here (distributed) so the driver merge never touches
+    # Python string objects on its fast path
     return pa.table(
-        {"node": pa.array(nodes, pa.large_string()), "root": pa.array(roots, pa.large_string())}
+        {
+            "node": pa.array(nodes, pa.large_string()),
+            "root": pa.array(roots, pa.large_string()),
+            "node_hash": pa.array(node_hash, pa.uint64()),
+            "root_hash": pa.array(root_hash, pa.uint64()),
+        }
     )
 
 
@@ -167,24 +179,24 @@ def collect_sameas_arrays(triples: Dataset):
     3. pointer-jump canons through the mapping (≤5 rounds) so chains that
        straddle batches land on the final representative.
     """
-    import numpy as np
     import pandas as pd
 
     partials = triples.map_batches(
         sameas_edges_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    pdf = partials.to_pandas()
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows > 0]
     empty = pa.array([], pa.large_string())
-    if not len(pdf):
+    if not tables:
         return empty, empty
-    nodes_np, roots_np = pdf["node"].to_numpy(), pdf["root"].to_numpy()
+    tbl = pa.concat_tables(tables)
     # fast path: when every node appears exactly once (the common case —
     # a document's sameAs cluster lives in one batch) and no canon is
     # itself aliased, the pairs ARE the mapping.  Both conditions are
-    # checked with 64-bit hashes; any suspicion (including a hash
-    # collision) falls through to the exact factorize-based merge below.
-    hn = pd.util.hash_array(nodes_np)
-    hr = pd.util.hash_array(roots_np)
+    # checked on the 64-bit hash columns the combiner computed — the
+    # driver never touches Python string objects; any suspicion
+    # (including a hash collision) falls through to the exact merge.
+    hn = tbl["node_hash"].to_numpy()
+    hr = tbl["root_hash"].to_numpy()
     hn_sorted = np.sort(hn)
     no_dups = bool((hn_sorted[1:] != hn_sorted[:-1]).all()) if len(hn) > 1 else True
     if no_dups:
@@ -193,10 +205,12 @@ def collect_sameas_arrays(triples: Dataset):
         chained = hn_sorted[pos_c] == hr
         if not chained.any():
             return (
-                pa.array(nodes_np, pa.large_string()),
-                pa.array(roots_np, pa.large_string()),
+                tbl["node"].combine_chunks(),
+                tbl["root"].combine_chunks(),
             )
     # exact path: integer-coded via one factorize, then pure numpy
+    pdf = tbl.select(["node", "root"]).to_pandas()
+    nodes_np, roots_np = pdf["node"].to_numpy(), pdf["root"].to_numpy()
     codes, uniq = pd.factorize(np.concatenate([nodes_np, roots_np]))
     n_pairs = len(nodes_np)
     a, b = codes[:n_pairs].astype(np.int64), codes[n_pairs:].astype(np.int64)
