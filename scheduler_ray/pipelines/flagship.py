@@ -108,12 +108,12 @@ def canonical_triples(
     # and the final sort pays per-block shuffle overhead — both want few,
     # large, CLUSTER-SIZE-INDEPENDENT blocks so per-task fixed costs don't
     # grow with parallelism
-    tri = tri.repartition(cfg.canonical_blocks).materialize()
-    t0 = _phase_log("repartition", t0)
     mapping = collect_sameas_arrays(tri)
     t0 = _phase_log("collect_mapping", t0)
+    # the repartition stays lazy: it fuses into the rewrite/write execution
+    # instead of paying its own executor round-trip
     return canonicalize_stage(
-        tri,
+        tri.repartition(cfg.canonical_blocks),
         mapping,
         drop_sameas=cfg.drop_sameas,
         batch_size=None,  # whole-block batches: one hash-build per block
