@@ -181,10 +181,19 @@ def collect_sameas_arrays(triples: Dataset):
     """
     import pandas as pd
 
-    partials = triples.map_batches(
-        sameas_edges_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows > 0]
+    # the combiner runs as raw Ray tasks over the dataset's block refs:
+    # for a materialized dataset this skips a whole streaming-executor
+    # round-trip (to_arrow_refs is free), and the per-block combiner needs
+    # no pipelining — one of the few places raw tasks beat the Dataset API
+    block_refs = triples.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def _combine(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "pred" not in block.schema.names:
+            return pa.table({})  # empty placeholder block
+        return sameas_edges_batch(block)
+
+    tables = [t for t in ray.get([_combine.remote(r) for r in block_refs]) if t.num_rows > 0]
     empty = pa.array([], pa.large_string())
     if not tables:
         return empty, empty
