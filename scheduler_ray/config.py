@@ -43,7 +43,9 @@ class PipelineConfig:
             link_concurrency=(max(2, num_cpus // 2), max(4, num_cpus * 7 // 8)),
             rewrite_concurrency=(max(1, num_cpus // 8), max(2, num_cpus // 2)),
         )
-    #: salt factor for hot-domain repartitioning (0 = off)
+    #: salt factor for hot-key group work (0 = off) — consumed by the
+    #: per-source sinks (e.g. nq.write_release_graphs(salt_factor=...));
+    #: per-batch map stages need no salting (Ray splits blocks by size)
     salt_factor: int = 0
     #: block count for the canonicalize/sort tail — fixed (not CPU-derived)
     #: so per-task fixed costs (broadcast hash-table builds) are identical
