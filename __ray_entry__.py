@@ -51,10 +51,7 @@ def _q_kg_sources(sf_dir: str):
     fx = _fixture(sf_dir)
     pages = flagship.read_pages(fx)
     ex = extract_stage(pages)
-    out = ex.groupby("source").aggregate(Count(alias_name="n_pages"))
-    return out.map_batches(
-        lambda df: df.rename(columns={"source": "source"}), batch_format="pandas"
-    )
+    return ex.groupby("source").aggregate(Count(alias_name="n_pages"))
 
 
 def _q_kg_triples_raw(sf_dir: str):
@@ -86,8 +83,10 @@ def _q_kg_cleanup(sf_dir: str):
 
 
 def _q_kg_merge_dedup(sf_dir: str):
-    ds = _q_kg_canonical(sf_dir)
-    merged = ds.union(_q_kg_canonical(sf_dir))
+    # materialize once and self-union (A2 global-merge semantics) — running
+    # the whole flagship twice for a self-union wasted a full pipeline pass
+    ds = _q_kg_canonical(sf_dir).materialize()
+    merged = ds.union(ds)
     distinct = merged.groupby(["subj", "pred", "obj"]).aggregate(Count(alias_name="c"))
     return pd.DataFrame({"n_triples": [distinct.count()]})
 
@@ -98,9 +97,7 @@ def _q_kg_entity_link(sf_dir: str):
         lambda t: t.filter(pc.equal(t["pred"], LINEAR_ELEMENT)).select(["subj", "obj"]),
         batch_format="pyarrow",
     )
-    return links.map_batches(
-        lambda df: df.rename(columns={"obj": "mainstem_uri"}), batch_format="pandas"
-    )
+    return links.rename_columns({"obj": "mainstem_uri"})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -44,12 +44,19 @@ def _hash_col(s: pd.Series) -> np.ndarray:
 
 
 def input_summary(fixture_dir: str) -> pd.DataFrame:
-    """Per-source (n_pages, input_hash) from a urls-only read."""
-    pages = rd.read_parquet(f"{fixture_dir}/pages", columns=["url"])
+    """Per-source (n_pages, input_hash) from a (url, html)-pruned read.
+
+    The hash folds in the page *content* (html bytes), not just the url
+    set, so a re-crawl that changes a page body under an unchanged url
+    invalidates the partition — true ``.bytesum`` content-hash semantics
+    (reference userCode/defs_test.py:86-98), per ADVICE r1.
+    """
+    pages = rd.read_parquet(f"{fixture_dir}/pages", columns=["url", "html"])
     tagged = pages.map_batches(derive_source_batch, batch_format="pyarrow")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_col(b["url"])
+        h = _hash_col(b["url"]) ^ (_hash_col(b["html"]) << 1)
+        h &= 0xFFFFFFFF
         out = pd.DataFrame({"source": b["source"], "h": h, "n": 1})
         return out.groupby("source", as_index=False).agg(
             hash_sum=("h", "sum"), n_pages=("n", "sum")

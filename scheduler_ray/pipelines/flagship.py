@@ -42,14 +42,6 @@ from ..stages.link import link_stage
 PAGE_COLUMNS = ["url", "html"]  # prune at the read: warc_ts/text/lang unused here
 
 
-def _local_dedup(batch: pa.Table) -> pa.Table:
-    """Within-batch exact-triple dedup (cheap combiner before/instead of a
-    global shuffle; duplicates within a document land in one batch)."""
-    df = batch.to_pandas()
-    df = df.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False, schema=batch.schema)
-
-
 def raw_triples(
     pages: Dataset,
     registry: pd.DataFrame,

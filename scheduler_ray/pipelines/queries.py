@@ -174,8 +174,8 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, epoch,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch
-                        ROWS UNBOUNDED PRECEDING) AS session
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
   FROM g
 )
 SELECT user_id, session, MIN(epoch) AS session_start, MAX(epoch) AS session_end,
@@ -606,7 +606,7 @@ def q_kg_error_metrics(sf_dir: str):
 
 SQL_KG_ERROR_METRICS = """
 SELECT COUNT(*) AS pages,
-       SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS no_jsonld,
-       SUM(CASE WHEN doc_id % 17 <> 0 AND doc_id % 19 = 0 THEN 1 ELSE 0 END) AS parse_errors
+       CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS no_jsonld,
+       CAST(SUM(CASE WHEN doc_id % 17 <> 0 AND doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors
 FROM documents
 """

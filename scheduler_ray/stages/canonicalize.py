@@ -249,10 +249,13 @@ def collect_sameas_arrays(triples: Dataset):
         codes, uniq = pd.factorize(np.concatenate([ka, va]))
         half = len(ka)
         a, b = codes[:half].astype(np.int64), codes[half:].astype(np.int64)
-    # pointer jumping (numpy): a canon that is itself aliased follows on
+    # pointer jumping (numpy): a canon that is itself aliased follows on.
+    # Loop until convergence (path length halves per round → ≤ log2(chain)
+    # rounds); a fixed iteration count would silently leave deep cross-batch
+    # chains canonicalized to an intermediate alias (ADVICE r1).
     lut = np.full(len(uniq), -1, np.int64)
     lut[a] = b
-    for _ in range(5):
+    for _ in range(64):
         jumped = lut[b]
         mask = jumped >= 0
         if not mask.any():

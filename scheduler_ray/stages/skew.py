@@ -39,17 +39,29 @@ def detect_hot_keys(ds: Dataset, key: str, *, hot_fraction: float = 0.05) -> lis
 
 
 def add_salt(
-    ds: Dataset, key: str, hot_keys: list[str], *, factor: int = 8, salt_col: str = "salt"
+    ds: Dataset,
+    key: str,
+    hot_keys: list[str],
+    *,
+    factor: int = 8,
+    salt_col: str = "salt",
+    id_cols: list[str] | None = None,
 ) -> Dataset:
-    """Append a salt column: ``hash(stable row id) % factor`` for hot keys,
-    0 otherwise.  Deterministic (content-hash based, not random)."""
+    """Append a salt column: ``hash(row content) % factor`` for hot keys,
+    0 otherwise.
+
+    Deterministic under re-blocking: the hash covers the row's *content*
+    (``id_cols`` if given, else every column) — never the batch-local
+    positional index, which varies with Ray block boundaries (ADVICE r1).
+    """
     hot = set(hot_keys)
 
     def salt(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        h = pd.util.hash_pandas_object(b[key].astype(str) + b.index.astype(str), index=False)
+        cols = b[id_cols] if id_cols else b
+        h = pd.util.hash_pandas_object(cols, index=False).to_numpy(np.uint64)
         is_hot = b[key].isin(hot).to_numpy()
-        b[salt_col] = np.where(is_hot, (h % factor).astype(np.int64), 0)
+        b[salt_col] = np.where(is_hot, (h % np.uint64(factor)).astype(np.int64), 0)
         return b
 
     return ds.map_batches(salt, batch_format="pandas")
@@ -82,9 +94,10 @@ def salted_map_groups(
     hot_keys: list[str],
     factor: int = 8,
     batch_format: str = "pandas",
+    id_cols: list[str] | None = None,
 ) -> Dataset:
     """``groupby(key).map_groups(fn)`` with hot keys split into ``factor``
     salted sub-groups.  ``group_fn`` must be mergeable (applied per
     sub-group; caller merges per-key partials if needed)."""
-    salted = add_salt(ds, key, hot_keys, factor=factor)
+    salted = add_salt(ds, key, hot_keys, factor=factor, id_cols=id_cols)
     return salted.groupby([key, "salt"]).map_groups(group_fn, batch_format=batch_format)

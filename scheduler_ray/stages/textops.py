@@ -27,7 +27,10 @@ _STOPWORDS = {
 _WORD_RE = re.compile(r"\S+")
 #: BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
+#: explicit ASCII class — pinned to the same semantics as the DuckDB (RE2)
+#: oracle's ``[^\w\s]``, whose ``\w`` is ASCII-only; Python's Unicode ``\w``
+#: would classify non-ASCII letters differently (ADVICE r1)
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
 
 
 def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
