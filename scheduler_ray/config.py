@@ -47,10 +47,11 @@ class PipelineConfig:
     #: per-source sinks (e.g. nq.write_release_graphs(salt_factor=...));
     #: per-batch map stages need no salting (Ray splits blocks by size)
     salt_factor: int = 0
-    #: block count for the canonicalize/sort tail — fixed (not CPU-derived)
-    #: so per-task fixed costs (broadcast hash-table builds) are identical
-    #: at every cluster size; raise proportionally with data volume
-    canonical_blocks: int = 24
+    #: optional repartition before the canonicalize/sort tail (0 = off,
+    #: the default: the hash-LUT rewrite is cheap per block, so natural
+    #: block granularity gives the best wave balance; set a count only to
+    #: bound output file count)
+    canonical_blocks: int = 0
     #: drop owl:sameAs triples from the final graph after rewriting
     drop_sameas: bool = True
     #: staging dir for the mid-pipeline triple checkpoint; None → keep the
@@ -62,11 +63,17 @@ class PipelineConfig:
     #: validate documents against the SHACL-subset shapes during expansion
     #: (single parse; the reference's validate-during-harvest contract)
     validate_docs: bool = True
-    #: final materialize: "ranged" = per-block (pred,subj) sort + hive
-    #: partition by pred (the distributed representation of a sorted graph:
-    #: range-partitioned files, each internally sorted — no all-to-all);
-    #: "global" = Ray's total sort before the partitioned write
-    sort_mode: str = "ranged"
+    #: final materialize: "local" = hive partitioning by pred with each
+    #: FILE internally (pred,subj)-sorted — no all-to-all; files within a
+    #: pred dir are NOT range-partitioned by subj (consumers needing a
+    #: total order use "global").  "global" = Ray's total sort — a true
+    #: range-partitioned sorted materialize — before the partitioned write.
+    #: ("ranged" is accepted as a legacy alias of "local".)
+    sort_mode: str = "local"
+    #: with an out_dir and sort_mode="local": stream ONE fused pass (local
+    #: canonicalization + per-block sorted hive write + merge/fixup —
+    #: pipelines/streaming.py) instead of materialize→collect→rewrite
+    single_pass: bool = True
     extra: dict = field(default_factory=dict)
 
     def validate(self) -> "PipelineConfig":

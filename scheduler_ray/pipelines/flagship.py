@@ -26,13 +26,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 
 from ..config import PipelineConfig
 from ..stages.canonicalize import (
     canonicalize_stage,
-    collect_sameas_arrays,
+    collect_sameas_arrays,  # noqa: F401 — re-exported for callers/tests
+    collect_sameas_lut_ref,
     collect_sameas_mapping,  # noqa: F401 — re-exported for callers/tests
 )
 from ..stages.expand import expand_stage
@@ -95,20 +97,21 @@ def canonical_triples(
     else:
         tri = tri.materialize()
     t0 = _phase_log("materialize_raw", t0)
-    # coalesce the many small map-output blocks: the rewrite pays a fixed
-    # per-batch hash-table build over the broadcast mapping (pc.index_in),
-    # and the final sort pays per-block shuffle overhead — both want few,
-    # large, CLUSTER-SIZE-INDEPENDENT blocks so per-task fixed costs don't
-    # grow with parallelism
-    mapping = collect_sameas_arrays(tri)
+    # tree-reduced combiner → remote LUT build; only the ObjectRef comes
+    # back (the driver never holds the mapping bytes)
+    mapping = collect_sameas_lut_ref(tri)
+    ray.wait([mapping])  # surface combine/merge errors here, not in the tail
     t0 = _phase_log("collect_mapping", t0)
-    # the repartition stays lazy: it fuses into the rewrite/write execution
-    # instead of paying its own executor round-trip
+    # optional lazy coalesce for the rewrite/sort/write tail (fuses into
+    # that execution — no extra pass); the hash-LUT rewrite has near-zero
+    # per-task fixed cost, so the count can scale with CPUs for wave balance
+    if cfg.canonical_blocks:
+        tri = tri.repartition(cfg.canonical_blocks)
     return canonicalize_stage(
-        tri.repartition(cfg.canonical_blocks),
+        tri,
         mapping,
         drop_sameas=cfg.drop_sameas,
-        batch_size=None,  # whole-block batches: one hash-build per block
+        batch_size=None,  # whole-block batches
         concurrency=cfg.rewrite_concurrency,
         use_actors=cfg.rewrite_use_actors,
         local_dedup=True,
@@ -129,14 +132,51 @@ def load_sources_only(fixture_dir: str) -> pd.DataFrame:
     return pq.read_table(f"{fixture_dir}/sources.parquet").to_pandas()
 
 
+def read_graph(out_dir: str) -> Dataset:
+    """Read a written graph back with the exact TRIPLE_SCHEMA dtypes (hive
+    partition columns come back as plain string — recast)."""
+    from ..stages.expand import TRIPLE_SCHEMA
+
+    ds = rd.read_parquet(out_dir)
+
+    def cast(t: pa.Table) -> pa.Table:
+        from urllib.parse import unquote
+
+        import pyarrow.compute as pc
+
+        cols = {f.name: pc.cast(t[f.name], f.type) for f in TRIPLE_SCHEMA}
+        # Ray's write_parquet percent-encodes hive partition values
+        # (rdf:type → rdf%3Atype) and the reader keeps them encoded —
+        # decode via the tiny unique set
+        pred = cols["pred"]
+        uniq = pc.unique(pred)
+        if any("%" in (u or "") for u in uniq.to_pylist()):
+            decoded = pa.array([unquote(u) for u in uniq.to_pylist()], pa.large_string())
+            pred = pc.take(decoded, pc.index_in(pred, value_set=uniq))
+            cols["pred"] = pc.cast(pred, pa.large_string())
+        return pa.Table.from_arrays(
+            [cols[f.name] for f in TRIPLE_SCHEMA], schema=TRIPLE_SCHEMA
+        )
+
+    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def run_flagship(
     fixture_dir: str,
     out_dir: str | None = None,
     cfg: PipelineConfig | None = None,
 ) -> Dataset:
-    """End-to-end: fixture dir → canonical triples (written if out_dir)."""
+    """End-to-end: fixture dir → canonical triples (written if out_dir).
+
+    With an ``out_dir`` and ``sort_mode="local"`` (default) the job runs
+    the SINGLE-PASS streaming materialize (pipelines/streaming.py): local
+    canonicalization fused into the main pass, direct per-block sorted
+    hive writes, global merge + fixup only where cross-batch chains land.
+    ``sort_mode="global"`` (or no out_dir) uses the two-pass path.
+    """
     import os
 
+    cfg = (cfg or PipelineConfig()).validate()
     cache = f"{fixture_dir}/registry_index.pkl"
     # with a warm index cache the (possibly huge) registry frame is never
     # loaded — the lazy parquet path goes straight to the cache check
@@ -146,19 +186,29 @@ def run_flagship(
     else:
         sources = load_sources_only(fixture_dir)
     pages = read_pages(fixture_dir)
+
+    if out_dir and cfg.single_pass and cfg.sort_mode in ("local", "ranged"):
+        from .streaming import write_canonical_single_pass
+
+        t0 = _time.time()
+        raw = raw_triples(pages, registry, sources, cfg, cache)
+        write_canonical_single_pass(raw, out_dir, drop_sameas=cfg.drop_sameas)
+        _phase_log("single_pass_write", t0)
+        return read_graph(out_dir)
+
     canon = canonical_triples(
         pages, registry, sources, cfg,
         index_cache_path=cache,
     )
     if out_dir:
         t0 = _time.time()
-        cfg = cfg or PipelineConfig()
         if cfg.sort_mode == "global":
+            # Ray's sort range-partitions then sorts — the output files ARE
+            # globally ordered by (pred, subj)
             final = canon.sort(["pred", "subj"])
         else:
-            # ranged mode: each block sorted by (pred, subj); the hive
-            # partition dirs by pred give the predicate partitioning, and
-            # sorted files are the distributed form of a sorted materialize
+            # local mode: hive partition dirs by pred + per-FILE (pred,subj)
+            # sort; files within a pred dir are not range-partitioned
             def sort_block(t: pa.Table) -> pa.Table:
                 return t.sort_by([("pred", "ascending"), ("subj", "ascending")])
 
@@ -167,5 +217,5 @@ def run_flagship(
             )
         final.write_parquet(out_dir, partition_cols=[cfg.partition_col])
         _phase_log("sort_write", t0)
-        return rd.read_parquet(out_dir)
+        return read_graph(out_dir)
     return canon

@@ -1,0 +1,263 @@
+"""Single-pass streaming materialize of the canonical graph.
+
+The two-pass flagship (materialize raw triples → collect global sameAs
+mapping → rewrite) pays a full object-store round-trip plus a second
+executor run.  At 100 TB the raw triple set should never be resident at
+once — and on the bench the two fixed executions cap scaling efficiency.
+
+This module streams ONE pass (reference semantics unchanged — SURVEY.md
+A1/D4/D5/O4):
+
+1. Per block: **local canonicalization** (a document's owl:sameAs edges
+   are always in its own batch — `stages/expand.py` emits per-document
+   rows contiguously), exact dedup, (pred, subj) sort, and a direct
+   hive-partitioned parquet write with a deterministic content-hash file
+   name (idempotent under task retry).  Each block also writes two tiny
+   sidecars: its compressed (node → local canon) pair table and the
+   distinct uint64 hashes of the URIs remaining in its output.
+2. Driver: the pair sidecars are tree-merged **on workers** into the
+   global mapping LUT (`canonicalize.build_rewrite_lut`, zero-copy in
+   plasma).  If the global merge changed nothing — every sameAs cluster
+   was batch-local, the common case — the written files are already
+   canonical and the job is done: one pass total.
+3. Otherwise (cross-batch chains, or documents referencing another
+   document's alias URI): every written file whose URI-hash sidecar
+   intersects the mapping keys is **fixed up** in place (read → rewrite →
+   dedup → sort → atomic replace).  Only affected files are touched.
+
+Correctness equals the two-pass path: step 3's probe set is the full
+global mapping, so any value a global rewrite would have changed is
+caught by the sidecar intersection (no false negatives; hash-prefix false
+positives only cost a redundant file rewrite).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from ..stages.canonicalize import (
+    CanonicalRewriter,
+    _hash_large_string,
+    _merge_pair_tables,
+    build_rewrite_lut,
+    local_canonicalize_batch,
+    local_exact_dedup,
+)
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("file", pa.large_string()),
+        ("pred", pa.large_string()),
+        ("rows", pa.int64()),
+        ("stem", pa.large_string()),
+    ]
+)
+
+PAIRS_DIR = "_pairs"
+SIDECAR_DIR = "_sidecars"
+
+
+def _atomic_write(tbl: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool) -> pa.Table:
+    """The fused per-block stage: local canon → dedup → sort → write.
+
+    Every per-row hash the stage needs (dedup key, content-derived file
+    stem, fixup sidecar) is derived from ONE hashing pass over the four
+    string columns — the columns are never hashed twice.
+    """
+    if tbl.num_rows == 0:
+        return MANIFEST_SCHEMA.empty_table()
+    tbl, pairs = local_canonicalize_batch(tbl, drop_sameas=drop_sameas)
+    hs = _hash_large_string(tbl["subj"])
+    hp = _hash_large_string(tbl["pred"])
+    ho = _hash_large_string(tbl["obj"])
+    hg = _hash_large_string(tbl["graph"])
+    # exact (subj, pred, obj) dedup on the combined hash (sort-based dup
+    # detection; hash-colliding candidates go through exact dedup)
+    h = hs * np.uint64(1000003) + hp * np.uint64(31) + ho
+    h_sorted = np.sort(h)
+    if len(h_sorted) > 1 and (h_sorted[:-1] == h_sorted[1:]).any():
+        tbl = local_exact_dedup(tbl)
+        hs = _hash_large_string(tbl["subj"])
+        hp = _hash_large_string(tbl["pred"])
+        ho = _hash_large_string(tbl["obj"])
+        hg = _hash_large_string(tbl["graph"])
+    # distinct URI hashes remaining in this block's output — the fixup
+    # probe set (subjects + non-literal objects); computed BEFORE the sort
+    # so the mask aligns with the hash arrays (both are sets, order-free)
+    lit = tbl["obj_is_literal"].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+    distinct = np.unique(np.concatenate([hs, ho[~lit]]))
+    # order-insensitive content stem: XOR-reduce survives the sort
+    stem_h = np.uint64(len(tbl))
+    for hv in (hs, hp, ho, hg):
+        stem_h ^= np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
+    stem = f"{int(stem_h):016x}"
+    tbl = tbl.sort_by([("pred", "ascending"), ("subj", "ascending")])
+    files, preds, rows = [], [], []
+    # split by pred → hive layout (pred column dropped from the file,
+    # reconstructed from the dir name at read, like write_parquet does)
+    pred_col = tbl["pred"]
+    for p in pc.unique(pred_col).to_pylist():
+        part = tbl.filter(pc.equal(pred_col, p)).drop_columns(["pred"])
+        pdir = os.path.join(out_dir, f"pred={p}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"part-{stem}.parquet")
+        _atomic_write(part, path)
+        files.append(path)
+        preds.append(p)
+        rows.append(part.num_rows)
+    if pairs.num_rows:
+        pdir = os.path.join(out_dir, PAIRS_DIR)
+        os.makedirs(pdir, exist_ok=True)
+        _atomic_write(pairs, os.path.join(pdir, f"pairs-{stem}.parquet"))
+    sdir = os.path.join(out_dir, SIDECAR_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f"{stem}.npy.tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, distinct)
+    os.replace(tmp, os.path.join(sdir, f"{stem}.npy"))
+    return pa.table(
+        {
+            "file": pa.array(files, pa.large_string()),
+            "pred": pa.array(preds, pa.large_string()),
+            "rows": pa.array(rows, pa.int64()),
+            "stem": pa.array([stem] * len(files), pa.large_string()),
+        }
+    )
+
+
+def _merge_pair_files_to_lut(pair_files: list[str], merge_fanout: int = 8):
+    """Tree-merge the per-block pair sidecars into the global rewrite LUT
+    (all on workers; returns the ObjectRef of the LUT tuple)."""
+
+    @ray.remote(num_cpus=1)
+    def _read_merge(*paths: str) -> pa.Table:
+        return _merge_pair_tables([pq.read_table(p) for p in paths])
+
+    @ray.remote(num_cpus=1)
+    def _merge(*tables: pa.Table) -> pa.Table:
+        return _merge_pair_tables(list(tables))
+
+    @ray.remote(num_cpus=1)
+    def _finish(*tables: pa.Table) -> tuple:
+        final = _merge_pair_tables(list(tables))
+        return build_rewrite_lut(
+            final["node"].combine_chunks(), final["root"].combine_chunks()
+        )
+
+    refs = [
+        _read_merge.remote(*pair_files[i : i + merge_fanout])
+        for i in range(0, len(pair_files), merge_fanout)
+    ]
+    while len(refs) > merge_fanout:
+        refs = [
+            _merge.remote(*refs[i : i + merge_fanout])
+            for i in range(0, len(refs), merge_fanout)
+        ]
+    return _finish.remote(*refs)
+
+
+@ray.remote(num_cpus=1)
+def _flag_sidecars(sidecar_paths: list[str], lut: tuple) -> list[bool]:
+    _keys, _vals, kh_sorted, _bitmap, _uniq = lut
+    out = []
+    for p in sidecar_paths:
+        h = np.load(p)
+        if not len(h) or not len(kh_sorted):
+            out.append(False)
+            continue
+        pos = np.clip(np.searchsorted(kh_sorted, h), 0, len(kh_sorted) - 1)
+        out.append(bool((kh_sorted[pos] == h).any()))
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _fixup_file(path: str, lut: tuple, drop_sameas: bool) -> int:
+    """Rewrite one flagged file in place (read → global rewrite → dedup →
+    sort → atomic replace).  pred is constant per file (hive dir)."""
+    tbl = pq.read_table(path)
+    rw = CanonicalRewriter(lut, drop_sameas=False)  # pred column absent
+    subj = rw._rewrite(tbl["subj"])
+    lit = tbl["obj_is_literal"].combine_chunks()
+    not_lit = np.logical_not(lit.to_numpy(zero_copy_only=False).astype(bool))
+    obj = rw._rewrite(tbl["obj"], probe_mask=not_lit)
+    i_s = tbl.schema.get_field_index("subj")
+    i_o = tbl.schema.get_field_index("obj")
+    tbl = tbl.set_column(i_s, "subj", subj).set_column(i_o, "obj", obj)
+    # file-level exact dedup on (subj, obj) — pred constant within a file
+    hs = _hash_large_string(tbl["subj"])
+    ho = _hash_large_string(tbl["obj"])
+    h = hs * np.uint64(1000003) + ho
+    _uniq_h, first = np.unique(h, return_index=True)
+    if len(first) != tbl.num_rows:
+        import pandas as pd
+
+        df = tbl.to_pandas().drop_duplicates(subset=["subj", "obj"], keep="first")
+        tbl = pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
+    tbl = tbl.sort_by([("subj", "ascending")])
+    _atomic_write(tbl, path)
+    return tbl.num_rows
+
+
+def write_canonical_single_pass(
+    triples: Dataset,
+    out_dir: str,
+    *,
+    drop_sameas: bool = True,
+) -> dict:
+    """Stream linked raw triples into a canonical hive-partitioned graph
+    in ONE pass (+ a fixup touching only files that cross-batch sameAs
+    chains actually affect).  Returns a summary dict."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def stage(tbl: pa.Table) -> pa.Table:
+        return _write_block(tbl, out_dir, drop_sameas)
+
+    manifests = triples.map_batches(
+        stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+
+    pair_files = sorted(glob.glob(os.path.join(out_dir, PAIRS_DIR, "*.parquet")))
+    fixed = 0
+    if pair_files:
+        lut_ref = _merge_pair_files_to_lut(pair_files)
+        sidecars = sorted(glob.glob(os.path.join(out_dir, SIDECAR_DIR, "*.npy")))
+        group = 32
+        flag_refs = [
+            _flag_sidecars.remote(sidecars[i : i + group], lut_ref)
+            for i in range(0, len(sidecars), group)
+        ]
+        flags = [f for part in ray.get(flag_refs) for f in part]
+        flagged_stems = {
+            os.path.basename(s)[: -len(".npy")] for s, f in zip(sidecars, flags) if f
+        }
+        if flagged_stems:
+            todo = manifests[manifests["stem"].isin(flagged_stems)]["file"]
+            fixed = len(todo)
+            ray.get(
+                [_fixup_file.remote(p, lut_ref, drop_sameas) for p in todo]
+            )
+    # sidecars are scratch; keep the output dir pure hive
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, PAIRS_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, SIDECAR_DIR), ignore_errors=True)
+    return {
+        "files": int(len(manifests)),
+        "rows": int(manifests["rows"].sum()) if len(manifests) else 0,
+        "fixed_files": int(fixed),
+    }

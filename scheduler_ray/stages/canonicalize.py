@@ -76,39 +76,28 @@ class UnionFind:
 def sameas_edges_batch(batch: pa.Table) -> pa.Table:
     """Compress one batch of triples to (node, root) pairs.
 
-    Each batch union-finds its own edges and emits node → *canonical*
+    Each batch collapses its own sameAs edges with the vectorized
+    min-label kernel (``_merge_pairs_idx`` — factorize + numpy label
+    propagation, no per-edge Python loop) and emits node → *canonical*
     (PID-preferring, deterministic) pairs.  Because a document's sameAs
     edges are emitted adjacently by the expansion stage, within-batch
-    closure resolves nearly every cluster — the driver-side merge then
-    only deduplicates identical pairs and pointer-jumps the rare
-    cross-batch chain (see collect_sameas_arrays).
+    closure resolves nearly every cluster — the tree merge then only
+    deduplicates identical pairs and pointer-jumps the rare cross-batch
+    chain (see collect_sameas_arrays).
     """
     mask = pc.equal(batch["pred"], SAME_AS)
     edges = batch.filter(mask)
-    uf = UnionFind()
-    for s, o in zip(edges["subj"].to_pylist(), edges["obj"].to_pylist()):
-        uf.union(s, o)
-    clusters: dict[str, list[str]] = {}
-    for n, r in uf.items():
-        clusters.setdefault(r, []).append(n)
-    nodes, roots = [], []
-    for root, members in clusters.items():
-        all_members = members if root in members else members + [root]
-        canon = None
-        for m in all_members:
-            if m.startswith(PID_PREFIX) and (canon is None or m < canon):
-                canon = m
-        if canon is None:
-            canon = min(all_members)
-        for m in all_members:
-            if m != canon:
-                nodes.append(m)
-                roots.append(canon)
-    import pandas as pd
-
-    node_hash = pd.util.hash_array(np.array(nodes, dtype=object)) if nodes else np.array([], np.uint64)
-    root_hash = pd.util.hash_array(np.array(roots, dtype=object)) if roots else np.array([], np.uint64)
-    # hashes computed here (distributed) so the driver merge never touches
+    if edges.num_rows == 0:
+        return PAIR_SCHEMA.empty_table()
+    subj = edges["subj"].to_numpy(zero_copy_only=False)
+    obj = edges["obj"].to_numpy(zero_copy_only=False)
+    canon_idx, uniq = _merge_pairs_idx(subj, obj)
+    changed = np.flatnonzero(canon_idx != np.arange(len(uniq)))
+    nodes = uniq[changed]
+    roots = uniq[canon_idx[changed]]
+    node_hash = _hash_large_string(nodes) if len(nodes) else np.array([], np.uint64)
+    root_hash = _hash_large_string(roots) if len(roots) else np.array([], np.uint64)
+    # hashes computed here (distributed) so the merge never touches
     # Python string objects on its fast path
     return pa.table(
         {
@@ -164,23 +153,67 @@ def _merge_pairs_idx(nodes, roots, max_iters: int = 16):
     return order[lab], uniq
 
 
-def collect_sameas_arrays(triples: Dataset):
+#: schema of the compressed (node → canonical) pair tables the combiner and
+#: the tree-merge exchange; hashes ride along so merge fast paths never
+#: touch Python string objects
+PAIR_SCHEMA = pa.schema(
+    [
+        ("node", pa.large_string()),
+        ("root", pa.large_string()),
+        ("node_hash", pa.uint64()),
+        ("root_hash", pa.uint64()),
+    ]
+)
+
+
+def _merge_pair_tables(tables: list[pa.Table]) -> pa.Table:
+    """Merge canonical-pair tables into one canonical-pair table.
+
+    Associative/commutative (union-find closure is), so it runs at every
+    level of a tree reduce on workers — the driver never concatenates the
+    full pair set.  Fast path: after deduping identical (node, root) pairs
+    on their 64-bit hashes, if no node appears twice and no canon is
+    itself aliased, the pairs already ARE the merged mapping.  Any
+    suspicion (conflict, chain, hash collision) falls through to the exact
+    string merge.
+    """
+    tables = [t for t in tables if t.num_rows > 0]
+    if not tables:
+        return PAIR_SCHEMA.empty_table()
+    tbl = pa.concat_tables(tables)
+    hn = tbl["node_hash"].to_numpy()
+    hr = tbl["root_hash"].to_numpy()
+    # no explicit pair dedup here: duplicate (node, root) pairs imply a
+    # duplicate node hash, which routes to the exact path — and the exact
+    # path dedups pairs on exact integer codes
+    hn_sorted = np.sort(hn)
+    no_dups = bool((hn_sorted[1:] != hn_sorted[:-1]).all()) if len(hn) > 1 else True
+    if no_dups:
+        pos = np.searchsorted(hn_sorted, hr)
+        pos_c = np.clip(pos, 0, max(len(hn_sorted) - 1, 0))
+        chained = hn_sorted[pos_c] == hr
+        if not chained.any():
+            return tbl
+    keys, vals = _resolve_pairs_exact(tbl)
+    return pa.table(
+        {
+            "node": keys,
+            "root": vals,
+            "node_hash": pa.array(_hash_large_string(keys), pa.uint64()),
+            "root_hash": pa.array(_hash_large_string(vals), pa.uint64()),
+        }
+    )
+
+
+def collect_sameas_arrays(triples: Dataset, *, merge_fanout: int = 8):
     """Broadcast-ready ``(keys, vals)`` alias→canonical Arrow arrays.
 
-    The heavy lifting (per-cluster canonical choice) happened inside the
-    distributed per-batch combiner; the driver merge is O(pairs) and fully
-    vectorized:
-
-    1. drop duplicate (node, canon) pairs (a node's cluster usually lives
-       in exactly one batch);
-    2. nodes with *conflicting* canons across batches — cross-batch
-       clusters — are resolved with the exact min-label merge over just
-       the conflicted subset (tiny);
-    3. pointer-jump canons through the mapping (≤5 rounds) so chains that
-       straddle batches land on the final representative.
+    The per-cluster canonical choice happens inside the distributed
+    per-block combiner; partial pair tables are then **tree-reduced on
+    workers** (fanout ``merge_fanout``), so the driver-side cost is one
+    final small merge — a per-job term that no longer caps whole-job
+    scaling (round-1 verdict: the driver merge was a ~3.5 s constant).
     """
-    import pandas as pd
-
     # the combiner runs as raw Ray tasks over the dataset's block refs:
     # for a materialized dataset this skips a whole streaming-executor
     # round-trip (to_arrow_refs is free), and the per-block combiner needs
@@ -188,36 +221,83 @@ def collect_sameas_arrays(triples: Dataset):
     block_refs = triples.to_arrow_refs()
 
     @ray.remote(num_cpus=1)
-    def _combine(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0 or "pred" not in block.schema.names:
-            return pa.table({})  # empty placeholder block
-        return sameas_edges_batch(block)
+    def _combine(*blocks: pa.Table) -> pa.Table:
+        tables = [
+            sameas_edges_batch(b)
+            for b in blocks
+            if b.num_rows > 0 and "pred" in b.schema.names
+        ]
+        return _merge_pair_tables(tables)
 
-    tables = [t for t in ray.get([_combine.remote(r) for r in block_refs]) if t.num_rows > 0]
-    empty = pa.array([], pa.large_string())
-    if not tables:
-        return empty, empty
-    tbl = pa.concat_tables(tables)
-    # fast path: when every node appears exactly once (the common case —
-    # a document's sameAs cluster lives in one batch) and no canon is
-    # itself aliased, the pairs ARE the mapping.  Both conditions are
-    # checked on the 64-bit hash columns the combiner computed — the
-    # driver never touches Python string objects; any suspicion
-    # (including a hash collision) falls through to the exact merge.
-    hn = tbl["node_hash"].to_numpy()
-    hr = tbl["root_hash"].to_numpy()
-    hn_sorted = np.sort(hn)
-    no_dups = bool((hn_sorted[1:] != hn_sorted[:-1]).all()) if len(hn) > 1 else True
-    if no_dups:
-        pos = np.searchsorted(hn_sorted, hr)
-        pos_c = np.clip(pos, 0, len(hn_sorted) - 1)
-        chained = hn_sorted[pos_c] == hr
-        if not chained.any():
-            return (
-                tbl["node"].combine_chunks(),
-                tbl["root"].combine_chunks(),
-            )
-    # exact path: integer-coded via one factorize, then pure numpy
+    @ray.remote(num_cpus=1)
+    def _merge(*tables: pa.Table) -> pa.Table:
+        return _merge_pair_tables(list(tables))
+
+    # each leaf task combines a group of blocks (fewer, meatier tasks —
+    # task-submission overhead is driver-serial and caps scaling)
+    refs = [
+        _combine.remote(*block_refs[i : i + merge_fanout])
+        for i in range(0, len(block_refs), merge_fanout)
+    ]
+    while len(refs) > merge_fanout:
+        refs = [
+            _merge.remote(*refs[i : i + merge_fanout])
+            for i in range(0, len(refs), merge_fanout)
+        ]
+    final = _merge_pair_tables(ray.get(refs))
+    return final["node"].combine_chunks(), final["root"].combine_chunks()
+
+
+def collect_sameas_lut_ref(triples: Dataset, *, merge_fanout: int = 8) -> "ray.ObjectRef":
+    """Like :func:`collect_sameas_arrays`, but the tree root feeds a
+    remote :func:`build_rewrite_lut` and the **ObjectRef of the finished
+    LUT** is returned — the mapping bytes never land on the driver at all
+    (no driver deserialize, no driver re-``put``).  Pass the ref straight
+    to :func:`canonicalize_stage`."""
+    block_refs = triples.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def _combine(*blocks: pa.Table) -> pa.Table:
+        tables = [
+            sameas_edges_batch(b)
+            for b in blocks
+            if b.num_rows > 0 and "pred" in b.schema.names
+        ]
+        return _merge_pair_tables(tables)
+
+    @ray.remote(num_cpus=1)
+    def _merge(*tables: pa.Table) -> pa.Table:
+        return _merge_pair_tables(list(tables))
+
+    @ray.remote(num_cpus=1)
+    def _finish(*tables: pa.Table) -> tuple:
+        final = _merge_pair_tables(list(tables))
+        return build_rewrite_lut(
+            final["node"].combine_chunks(), final["root"].combine_chunks()
+        )
+
+    refs = [
+        _combine.remote(*block_refs[i : i + merge_fanout])
+        for i in range(0, len(block_refs), merge_fanout)
+    ]
+    while len(refs) > merge_fanout:
+        refs = [
+            _merge.remote(*refs[i : i + merge_fanout])
+            for i in range(0, len(refs), merge_fanout)
+        ]
+    return _finish.remote(*refs)
+
+
+def _resolve_pairs_exact(tbl: pa.Table):
+    """Exact string-level merge of a pair table → (keys, vals) arrays.
+
+    Integer-coded via one factorize, then pure numpy: conflicted nodes
+    (same node, different canons) are resolved with the min-label merge
+    over just the conflicted subset; canons that are themselves aliased
+    are pointer-jumped to convergence.
+    """
+    import pandas as pd
+
     pdf = tbl.select(["node", "root"]).to_pandas()
     nodes_np, roots_np = pdf["node"].to_numpy(), pdf["root"].to_numpy()
     codes, uniq = pd.factorize(np.concatenate([nodes_np, roots_np]))
@@ -267,6 +347,26 @@ def collect_sameas_arrays(triples: Dataset):
     return keys, vals
 
 
+def local_canonicalize_batch(tbl: pa.Table, drop_sameas: bool = True):
+    """Batch-local sameAs canonicalization (the single-pass combiner).
+
+    Collapses the batch's OWN sameAs edges (a document's edges are always
+    emitted in its own batch) and rewrites the batch through the resulting
+    tiny LUT.  Returns ``(rewritten_table, pair_table)`` — the pair table
+    (node → local canon) is the residue the global merge needs to detect
+    cross-batch chains.
+    """
+    pairs = sameas_edges_batch(tbl)
+    if pairs.num_rows:
+        lut = build_rewrite_lut(
+            pairs["node"].combine_chunks(), pairs["root"].combine_chunks()
+        )
+        tbl = CanonicalRewriter(lut, drop_sameas=drop_sameas)(tbl)
+    elif drop_sameas:
+        tbl = tbl.filter(pc.not_equal(tbl["pred"], SAME_AS))
+    return tbl, pairs
+
+
 def collect_sameas_mapping(triples: Dataset) -> dict[str, str]:
     """Edges → alias→canonical dict (driver-side merge of partial UFs).
 
@@ -295,11 +395,19 @@ def local_exact_dedup(tbl: pa.Table) -> pa.Table:
 
     if tbl.num_rows < 2:
         return tbl
-    hs = pd.util.hash_array(tbl["subj"].to_numpy(zero_copy_only=False))
-    hp = pd.util.hash_array(tbl["pred"].to_numpy(zero_copy_only=False))
-    ho = pd.util.hash_array(tbl["obj"].to_numpy(zero_copy_only=False))
+    hs = _hash_large_string(tbl["subj"])
+    hp = _hash_large_string(tbl["pred"])
+    ho = _hash_large_string(tbl["obj"])
     h = hs * np.uint64(1000003) + hp * np.uint64(31) + ho
-    dup_any = pd.Series(h).duplicated(keep=False).to_numpy()
+    # duplicated-detection via sort (vectorized, no pandas hashing)
+    hs_sorted = np.sort(h)
+    dup_vals = hs_sorted[:-1][hs_sorted[:-1] == hs_sorted[1:]]
+    if not len(dup_vals):
+        return tbl
+    dup_vals = np.unique(dup_vals)
+    pos = np.searchsorted(dup_vals, h)
+    pos_c = np.clip(pos, 0, len(dup_vals) - 1)
+    dup_any = dup_vals[pos_c] == h
     if not dup_any.any():
         return tbl
     uniq_part = tbl.filter(pa.array(~dup_any))
@@ -310,42 +418,168 @@ def local_exact_dedup(tbl: pa.Table) -> pa.Table:
     )
 
 
+def _hash_large_string(arr) -> np.ndarray:
+    """Vectorized uint64 hash of an Arrow (large_)string array / chunked
+    array / numpy string array.
+
+    Uses polars (~40 ns/row, no per-row Python objects — measured 40×
+    faster than ``pd.util.hash_array``) pinned to ONE thread so Ray's
+    1-CPU tasks don't oversubscribe the node with per-worker thread pools.
+    ``hash(seed=0)`` is deterministic across processes for a fixed polars
+    version, which is all the tree merge needs.
+    """
+    try:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array(arr, pa.large_string())
+        return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the image
+        import pandas as pd
+
+        np_arr = arr.to_numpy(zero_copy_only=False) if isinstance(arr, (pa.Array, pa.ChunkedArray)) else arr
+        return pd.util.hash_array(np_arr).astype(np.uint64)
+
+
+#: bits of hash prefix indexed by the probe-prefilter bitmap (2^24 bools =
+#: 16 MB, shared zero-copy) — at 2M keys the bitmap is ~11% occupied, so
+#: ~89% of probes skip the binary search entirely
+_PREFIX_BITS = 24
+
+
+def build_rewrite_lut(keys, vals) -> tuple:
+    """Build of the broadcast rewrite LUT (driver or remote task).
+
+    Returns ``(keys_sorted, vals_sorted, kh_sorted, prefix_bitmap,
+    hash_unique)`` where the arrays are Arrow / numpy — after ``ray.put``
+    every worker reads them **zero-copy from plasma** (no per-worker LUT
+    build, no per-worker private copy; round-1's per-worker duplication
+    went superlinear at 16 workers × multi-hundred-MB mappings).
+    """
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if len(keys) == 0:
+        return keys, vals, np.array([], np.uint64), np.zeros(1, bool), True
+    kh = _hash_large_string(keys)
+    order = np.argsort(kh, kind="stable")
+    kh_sorted = kh[order]
+    order_pa = pa.array(order)
+    keys_sorted = pc.take(keys, order_pa)
+    vals_sorted = pc.take(vals, order_pa)
+    # the prefilter only pays for itself on big LUTs — a per-batch local
+    # LUT (a few thousand keys) would spend more on the 16 MB memset than
+    # the searchsorted it skips
+    if len(kh_sorted) >= 65536:
+        bitmap = np.zeros(1 << _PREFIX_BITS, bool)
+        bitmap[(kh_sorted >> np.uint64(64 - _PREFIX_BITS)).astype(np.int64)] = True
+    else:
+        bitmap = None
+    # the LUT requires collision-free key hashes; two distinct keys
+    # sharing a hash (p ≈ n²/2⁶⁴) falls back to exact index_in
+    hash_unique = bool((kh_sorted[1:] != kh_sorted[:-1]).all()) if len(kh) > 1 else True
+    return keys_sorted, vals_sorted, kh_sorted, bitmap, hash_unique
+
+
 class CanonicalRewriter:
-    """Actor-pool stage: vectorized alias→canonical rewrite + sameAs drop."""
+    """Vectorized alias→canonical rewrite + sameAs drop (task or actor).
+
+    The lookup structure is a sorted uint64 hash LUT over the mapping keys
+    built ONCE on the driver (:func:`build_rewrite_lut`) and broadcast —
+    per batch the column is hashed, searchsorted, and hash hits are
+    string-verified with Arrow kernels.  Unlike ``pc.index_in`` (which
+    rebuilds its value_set hash table on every call — the round-1 fixed
+    cost that forced few large blocks), per-batch cost is
+    O(batch · log keys), so the rewrite runs at natural block granularity
+    and scales with CPUs.
+    """
 
     def __init__(self, mapping_ref, drop_sameas: bool = True):
         mapping = mapping_ref
         if isinstance(mapping, ray.ObjectRef):
             mapping = ray.get(mapping)
-        if isinstance(mapping, tuple):
-            # broadcast-friendly form: (keys, vals) Arrow arrays — memcpy
-            # deserialization instead of rebuilding a Python dict per worker
-            self.keys, self.vals = mapping
-        else:
-            self.keys = pa.array(list(mapping.keys()), pa.large_string())
-            self.vals = pa.array(list(mapping.values()), pa.large_string())
+        if isinstance(mapping, dict):
+            mapping = (
+                pa.array(list(mapping.keys()), pa.large_string()),
+                pa.array(list(mapping.values()), pa.large_string()),
+            )
+        if len(mapping) == 2:  # raw (keys, vals): build the LUT locally
+            mapping = build_rewrite_lut(*mapping)
+        (
+            self.keys_sorted,
+            self.vals_sorted,
+            self.kh_sorted,
+            self.prefix_bitmap,
+            self.hash_unique,
+        ) = mapping
         self.drop_sameas = drop_sameas
 
-    def _rewrite(self, col: pa.ChunkedArray) -> pa.Array:
+    def _rewrite(self, col: pa.ChunkedArray, probe_mask: "np.ndarray | None" = None):
+        """Rewrite ``col``; when ``probe_mask`` is given, only rows where
+        it is True are probed (literal objects never match a URI key)."""
         col = pc.cast(col, pa.large_string())
-        if len(self.keys) == 0:
+        if len(self.keys_sorted) == 0:
             return col
-        # index_in rebuilds its value_set hash table per call — callers keep
-        # block counts low/fixed so this fixed cost stays a small fraction
-        idx = pc.index_in(col, value_set=self.keys)
-        repl = pc.take(self.vals, idx)
+        if not self.hash_unique:
+            idx = pc.index_in(col, value_set=self.keys_sorted)
+            repl = pc.take(self.vals_sorted, idx)
+            return pc.coalesce(repl, col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ch = _hash_large_string(col)
+        # prefix-bitmap prefilter: most non-alias values miss here and
+        # skip the binary search entirely
+        if self.prefix_bitmap is not None:
+            cand = self.prefix_bitmap[(ch >> np.uint64(64 - _PREFIX_BITS)).astype(np.int64)]
+            if probe_mask is not None:
+                cand &= probe_mask
+        elif probe_mask is not None:
+            cand = probe_mask.copy()
+        else:
+            cand = np.ones(len(ch), bool)
+        if not cand.any():
+            return col
+        cand_rows = np.flatnonzero(cand)
+        ch_c = ch[cand_rows]
+        # probe in sorted order (sequential LUT access beats random by ~25%)
+        qorder = np.argsort(ch_c, kind="stable")
+        pos = np.empty(len(ch_c), np.int64)
+        pos[qorder] = np.searchsorted(self.kh_sorted, ch_c[qorder])
+        pos_c = np.clip(pos, 0, len(self.kh_sorted) - 1)
+        hit = self.kh_sorted[pos_c] == ch_c
+        if not hit.any():
+            return col
+        hit_idx = cand_rows[hit]
+        cand_pos = pos_c[hit]
+        # string-verify the hash hits (rules out value-vs-key collisions)
+        cand_keys = pc.take(self.keys_sorted, pa.array(cand_pos))
+        actual = pc.take(col, pa.array(hit_idx))
+        eq = pc.fill_null(pc.equal(cand_keys, actual), False).to_numpy(zero_copy_only=False)
+        ok_idx = hit_idx[eq]
+        if not len(ok_idx):
+            return col
+        # scatter: null index → keep original via coalesce
+        idx_np = np.full(len(col), -1, np.int64)
+        idx_np[ok_idx] = cand_pos[eq]
+        idx_pa = pa.array(idx_np, pa.int64(), mask=idx_np < 0)
+        repl = pc.take(self.vals_sorted, idx_pa)
         return pc.coalesce(repl, col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.drop_sameas:
             batch = batch.filter(pc.not_equal(batch["pred"], SAME_AS))
         subj = self._rewrite(batch["subj"])
-        # only URI objects are entity references; literals are untouched
-        obj = pc.if_else(
-            batch["obj_is_literal"],
-            pc.cast(batch["obj"], pa.large_string()),
-            self._rewrite(batch["obj"]),
-        )
+        # only URI objects are entity references; literal rows skip the
+        # probe entirely (mask) and pass through via coalesce
+        lit = batch["obj_is_literal"].combine_chunks() if isinstance(
+            batch["obj_is_literal"], pa.ChunkedArray
+        ) else batch["obj_is_literal"]
+        not_lit = np.logical_not(lit.to_numpy(zero_copy_only=False).astype(bool))
+        obj = self._rewrite(batch["obj"], probe_mask=not_lit)
         i_subj = batch.schema.get_field_index("subj")
         i_obj = batch.schema.get_field_index("obj")
         return batch.set_column(i_subj, "subj", subj).set_column(i_obj, "obj", obj)
@@ -368,12 +602,20 @@ def canonicalize_stage(
     pool.  ``local_dedup=True`` folds a within-batch exact-triple dedup
     into the same stage (cheap combiner before any global dedup).
     """
-    if isinstance(mapping, dict):
-        mapping = (
-            pa.array(list(mapping.keys()), pa.large_string()),
-            pa.array(list(mapping.values()), pa.large_string()),
-        )
-    mapping_ref = ray.put(mapping)
+    if isinstance(mapping, ray.ObjectRef):
+        # pre-built LUT living in plasma (collect_sameas_lut_ref) — the
+        # driver never touches the mapping bytes at all
+        mapping_ref = mapping
+    else:
+        if isinstance(mapping, dict):
+            mapping = (
+                pa.array(list(mapping.keys()), pa.large_string()),
+                pa.array(list(mapping.values()), pa.large_string()),
+            )
+        if len(mapping) == 2:
+            # build the sorted-hash LUT ONCE here; workers read it zero-copy
+            mapping = build_rewrite_lut(*mapping)
+        mapping_ref = ray.put(mapping)
     if use_actors:
         return triples.map_batches(
             CanonicalRewriter,

@@ -1,0 +1,101 @@
+"""Single-pass streaming materialize (pipelines/streaming.py).
+
+Parity with the two-pass flagship path on the synthetic corpus, plus an
+explicit cross-batch-chain scenario that exercises the global-merge →
+sidecar-flag → fixup machinery (the case local canonicalization alone
+cannot close).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from scheduler_ray.config import PipelineConfig
+from scheduler_ray.pipelines import flagship
+from scheduler_ray.pipelines.streaming import write_canonical_single_pass
+from scheduler_ray.stages.expand import TRIPLE_SCHEMA
+
+
+def _tripleset(df):
+    return set(zip(df["subj"], df["pred"], df["obj"], df["obj_is_literal"], df["graph"]))
+
+
+def test_single_pass_matches_two_pass(fixture_sf0001, tmp_out):
+    one = flagship.run_flagship(
+        fixture_sf0001, out_dir=tmp_out, cfg=PipelineConfig(single_pass=True)
+    ).to_pandas()
+    two_dir = tmp_out + "_twopass"
+    shutil.rmtree(two_dir, ignore_errors=True)
+    two = flagship.run_flagship(
+        fixture_sf0001, out_dir=two_dir, cfg=PipelineConfig(single_pass=False)
+    ).to_pandas()
+    assert len(one) == len(two) == 2337
+    assert _tripleset(one) == _tripleset(two)
+    assert list(one.columns) == [f.name for f in TRIPLE_SCHEMA]
+
+
+def _tbl(rows):
+    cols = list(zip(*rows))
+    return pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, TRIPLE_SCHEMA)],
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+PID = "https://pids.geoconnex.dev/x/1"
+
+
+def test_cross_batch_chain_fixup(tmp_out):
+    """A sameAs chain alias→prov (block 1) / prov→PID (block 2) plus a
+    third block referencing the alias URI with NO edge knowledge: only the
+    global merge + fixup can canonicalize all three blocks."""
+    b1 = _tbl(
+        [
+            ("https://mirror.example/x/1", "owl:sameAs", "https://provider.example/x/1", False, "s"),
+            ("https://mirror.example/x/1", "schema:name", "Feature 1", True, "s"),
+        ]
+    )
+    b2 = _tbl(
+        [
+            ("https://provider.example/x/1", "owl:sameAs", PID, False, "s"),
+            ("https://provider.example/x/1", "rdf:type", "hyf:HY_HydroLocation", False, "s"),
+        ]
+    )
+    # cross-document reference to the alias URI (no sameAs edge in-batch)
+    b3 = _tbl(
+        [
+            ("https://pids.geoconnex.dev/x/2", "schema:about", "https://mirror.example/x/1", False, "s"),
+        ]
+    )
+    ds = rd.from_arrow([b1, b2, b3])
+    summary = write_canonical_single_pass(ds, tmp_out, drop_sameas=True)
+    assert summary["fixed_files"] > 0  # the chain forced a fixup
+    got = flagship.read_graph(tmp_out).to_pandas()
+    ts = _tripleset(got)
+    assert (PID, "schema:name", "Feature 1", True, "s") in ts
+    assert (PID, "rdf:type", "hyf:HY_HydroLocation", False, "s") in ts
+    assert ("https://pids.geoconnex.dev/x/2", "schema:about", PID, False, "s") in ts
+    # no alias/provider URI survives anywhere
+    assert not any("mirror.example" in s or "provider.example" in s for s, _, o, _, _ in ts)
+    assert not any("mirror.example" in o or "provider.example" in o for _, _, o, _, _ in ts)
+
+
+def test_single_pass_rerun_idempotent(fixture_sf0001, tmp_out):
+    """Re-running over the same input produces the same file set (stems
+    are content-derived), so reruns are byte-stable."""
+    import os
+
+    flagship.run_flagship(fixture_sf0001, out_dir=tmp_out)
+    files1 = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(tmp_out) for f in fs
+    )
+    flagship.run_flagship(fixture_sf0001, out_dir=tmp_out)
+    files2 = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(tmp_out) for f in fs
+    )
+    assert files1 == files2
