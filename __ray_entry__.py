@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q.q_text_fingerprint,
         # similarity / embeddings
         "ann_topk": q.q_ann_topk,
+        "ann_lsh": q.q_ann_lsh,
         "embed_neardup": q.q_embed_neardup,
         "label_counts": q.q_label_counts,
         # exports / spatial / multimodal
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": q.SQL_TEXT_QUALITY,
         # text_langid / text_fingerprint: rows-only (non-SQL-expressible)
         "ann_topk": q.SQL_ANN_TOPK,
+        "ann_lsh": q.sql_ann_lsh(),
         "embed_neardup": q.SQL_EMBED_NEARDUP,
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),

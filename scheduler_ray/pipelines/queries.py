@@ -408,6 +408,74 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+#: ann_lsh parameters — shared between the Ray pipeline and the SQL oracle
+ANN_LSH = {"n_planes": 6, "n_tables": 4, "seed": 42, "k": 10}
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN top-k (queries vec_id<5): only corpus vectors
+    sharing a hyperplane-signature bucket with the query in ≥1 of the 4
+    tables are scored.  Deterministic (seeded planes), so the DuckDB
+    oracle reproduces the exact candidate set + ranking by materializing
+    the plane matrix as literals."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = sim.lsh_ann_topk(
+        emb,
+        queries,
+        qdf["vec_id"].to_numpy(),
+        k=ANN_LSH["k"],
+        n_planes=ANN_LSH["n_planes"],
+        n_tables=ANN_LSH["n_tables"],
+        seed=ANN_LSH["seed"],
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+def sql_ann_lsh() -> str:
+    """SQL twin of q_ann_lsh: same seeded planes as literal VALUES rows,
+    signatures via list_dot_product sign bits, same candidate rule and
+    (score DESC, vec_id) ranking."""
+    planes = sim.hyperplanes(64, ANN_LSH["n_planes"], ANN_LSH["n_tables"], ANN_LSH["seed"])
+    rows = []
+    for t in range(ANN_LSH["n_tables"]):
+        for p in range(ANN_LSH["n_planes"]):
+            vec = ",".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t},{p},[{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    k = ANN_LSH["k"]
+    return f"""
+WITH planes(tbl, pid, v) AS (VALUES
+{values}
+),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         STRING_AGG(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.v) > 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS vec_id
+  FROM sigs sq JOIN sigs sc ON sq.tbl = sc.tbl AND sq.sig = sc.sig
+  WHERE sq.vec_id < 5
+)
+SELECT c.query_id, c.vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS score
+FROM cand c
+JOIN embeddings q ON q.vec_id = c.query_id
+JOIN embeddings e ON e.vec_id = c.vec_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY c.query_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+             c.vec_id
+) <= {k}
+"""
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicates (≥0.95) with planted exact copies
     (vec_id%5==0 re-emitted at vec_id+PLANT_OFFSET): cosine 1.0 exactly,

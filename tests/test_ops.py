@@ -82,20 +82,40 @@ def test_brute_force_topk_deterministic():
     assert first["vec_id"] == 0 and first["score"] > 0.999
 
 
-def test_lsh_ann_recall_vs_bruteforce():
+def test_bucketed_ann_layout_recall(tmp_out):
+    """build_lsh_layout + BucketedAnnIndex: point queries read only the
+    probed bucket partitions; recall checked vs brute force."""
+    import os
+
     rng = np.random.RandomState(1)
     vecs = rng.randn(200, 16).astype(np.float32)
-    corpus = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
-    idx = sim.LshAnnIndex(corpus, n_planes=6, n_tables=6)
+    emb = rd.from_pandas(pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)}))
+    sim.build_lsh_layout(emb, tmp_out, n_planes=5, seed=7)
+    assert any(d.startswith("bucket=") for d in os.listdir(tmp_out))
+    idx = sim.BucketedAnnIndex(tmp_out, n_planes=5, seed=7)
     hits = 0
     for qi in range(10):
-        approx = set(idx.query(vecs[qi], k=5)["vec_id"])
+        approx = set(idx.query(vecs[qi], k=5, multiprobe=1)["vec_id"])
+        assert qi in approx  # own bucket always probed → self is rank 1
         exact_sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
             vecs[qi] / np.linalg.norm(vecs[qi])
         )
         exact = set(np.argsort(-exact_sims)[:5])
         hits += len(approx & exact)
-    assert hits >= 25  # ≥50% recall@5 with 6 tables on random data
+    assert hits >= 20  # ≥40% recall@5 with 1 table + multiprobe on random data
+
+
+def test_lsh_ann_topk_streaming_matches_candidates():
+    """lsh_ann_topk scores only same-bucket candidates and ranks them
+    exactly; the query's own vector is always a candidate (score 1.0)."""
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(120, 16).astype(np.float32)
+    emb = rd.from_pandas(pd.DataFrame({"vec_id": range(120), "embedding": list(vecs)}))
+    out = sim.lsh_ann_topk(emb, vecs[:3], np.arange(3), k=5, n_planes=5, n_tables=3, seed=3)
+    for qi in range(3):
+        sub = out[out["query_id"] == qi]
+        assert len(sub) >= 1
+        assert sub.iloc[0]["vec_id"] == qi and sub.iloc[0]["score"] > 0.999
 
 
 def test_broadcast_and_semi_join():
