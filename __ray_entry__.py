@@ -174,7 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": q.SQL_DISTINCT_SEGMENTS,
         "dedup_exact": q.SQL_DEDUP_EXACT,
         "dedup_minhash": q.SQL_DEDUP_MINHASH,
-        # dedup_simhash: rows-only (legit accidental collisions, see docstring)
+        "dedup_simhash": q.SQL_DEDUP_SIMHASH,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "text_tokens": q.SQL_TEXT_TOKENS,
         "text_quality": q.SQL_TEXT_QUALITY,

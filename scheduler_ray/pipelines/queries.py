@@ -300,11 +300,26 @@ WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming ≤ 3) with planted exact copies
-    (doc_id%7==0).  The small shared vocabulary also produces legitimate
-    accidental collisions, so this is a rows-only check (no SQL oracle)."""
+    """SimHash near-dup detection with planted exact copies (doc_id%7==0
+    re-emitted at doc_id+PLANT_OFFSET): a copy's simhash equals its
+    source's (hamming 0), so restricting the hamming≤3 pair output to
+    (a, a+PLANT_OFFSET) pairs yields EXACTLY the planted set — a full
+    value oracle (round-1 verdict item 7; accidental collisions between
+    unrelated docs can't satisfy b−a == PLANT_OFFSET because only
+    doc_id%7==0 rows were planted).  simhash correctness on non-planted
+    hamming is covered by pytest (test_simhash_*)."""
     corpus = _docs_with_near_dups(sf_dir, 7, None)
-    return dd.simhash_near_pairs(corpus, max_hamming=3)
+    pairs = dd.simhash_near_pairs(corpus, max_hamming=3).to_pandas()
+    keep = (pairs["doc_b"] - pairs["doc_a"] == PLANT_OFFSET) & (
+        pairs["doc_a"] % 7 == 0
+    ) & (pairs["doc_a"] < PLANT_OFFSET)
+    return pairs[keep].sort_values("doc_a").reset_index(drop=True)
+
+
+SQL_DEDUP_SIMHASH = f"""
+SELECT doc_id AS doc_a, doc_id + {PLANT_OFFSET} AS doc_b
+FROM documents WHERE doc_id % 7 = 0
+"""
 
 
 def q_dedup_ngram(sf_dir: str):

@@ -97,20 +97,55 @@ def langid_stage(docs: Dataset, concurrency=(1, 4)) -> Dataset:
     return docs.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
 
 
+_FP_BASE = np.uint64(1099511628211)  # FNV prime
+
+
 def fingerprint_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
     """Winnowing-style rolling-hash fingerprint: min token-window hash.
 
     Deterministic 64-bit content fingerprint robust to reordering outside
     the window; usable as a cheap near-dup blocking key.
+
+    Vectorized over the whole batch (round-1 verdict item 6): one token
+    hash pass, every doc zero-padded to ≥ ``window`` tokens, then the
+    window polynomial is ``window`` shifted multiply-adds over the flat
+    array and the per-doc min is one ``np.minimum.reduceat``.  (The gram
+    hash is a token-hash polynomial rather than a string hash of the
+    joined gram — same fingerprint properties, no gram string
+    materialization.)
     """
-    fps = np.zeros(len(batch), np.uint64)
-    for i, text in enumerate(batch["text"]):
-        toks = text.lower().split()
-        if not toks:
-            continue
-        grams = [" ".join(toks[j : j + window]) for j in range(max(1, len(toks) - window + 1))]
-        h = pd.util.hash_array(np.array(grams, dtype=object)).astype(np.uint64)
-        fps[i] = h.min()
+    n = len(batch)
+    tok_lists = batch["text"].str.lower().str.split()
+    lens = tok_lists.map(len).to_numpy(np.int64)
+    fps = np.zeros(n, np.uint64)
+    if lens.sum() == 0:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+    # zero-pad every doc to at least `window` tokens so each doc has
+    # exactly max(len, w) - w + 1 = max(1, len - w + 1) full windows
+    padded = np.maximum(lens, window)
+    total = int(padded.sum())
+    h = np.zeros(total, np.uint64)
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(padded[:-1], out=offsets[1:])
+    pos = np.concatenate(
+        [off + np.arange(ln) for off, ln in zip(offsets, lens) if ln]
+    )
+    flat = np.concatenate([np.array(t, object) for t in tok_lists if len(t)])
+    h[pos] = pd.util.hash_array(flat).astype(np.uint64)
+    # rolling window polynomial over the flat array (window is a small
+    # constant → `window` vectorized multiply-adds)
+    n_win = total - window + 1
+    poly = np.zeros(n_win, np.uint64)
+    for k in range(window):
+        poly = poly * _FP_BASE + h[k : k + n_win]
+    # windows that straddle doc boundaries are invalid → mask to max
+    doc_of_pos = np.repeat(np.arange(n, dtype=np.int64), padded)[:n_win]
+    grams_per_doc = padded - window + 1
+    valid = (np.arange(n_win) - offsets[doc_of_pos]) < grams_per_doc[doc_of_pos]
+    poly[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mins = np.minimum.reduceat(poly, np.minimum(offsets, n_win - 1))
+    nonempty = lens > 0
+    fps[nonempty] = mins[nonempty]
     return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
 
 
