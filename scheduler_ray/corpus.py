@@ -23,6 +23,13 @@ triples the reference asserts (reference: userCode/defs_test.py:75-80,
   owl:sameAs chain  alias → provider → PID (union-find must close it).
 * other even doc_ids    → case B: ``@id`` is a provider URI with a 1-hop
   ``owl:sameAs`` to the PID.
+* ``doc_id % 13 == 0``  (valid docs) → the payload carries an inline
+  ``@context`` mapping the ``schema``/``hyf`` prefixes, so expansion must
+  emit full-IRI predicates/types for these documents.
+* ``doc_id % 23 == 0``  (valid docs) → the page has a SECOND ld+json
+  ``<script>`` block with a datatyped (``@value``/``@type``) and a
+  language-tagged literal — multi-block extraction + typed-literal
+  expansion coverage.
 
 All html/JSON text is pure ASCII so byte lengths equal character counts.
 """
@@ -51,6 +58,15 @@ HOT_DOMAINS = ("waterdata.usgs.gov", "water.noaa.gov")
 AMPLIFY_STRIDE = 1_000_000
 
 MALFORMED_JSON = '{"@id": "broken", "schema:name": "unterminated'
+
+#: inline @context planted on doc_id%13==0 documents (exact bytes — the
+#: oracle reproduces them)
+CONTEXT_JSON = (
+    '"@context":{"schema":"https://schema.org/",'
+    '"hyf":"https://www.opengis.net/def/schema/hy_features/hyf/"},'
+)
+SCHEMA_IRI = "https://schema.org/"
+HYF_IRI = "https://www.opengis.net/def/schema/hy_features/hyf/"
 
 
 def domain_for_source(source: str) -> str:
@@ -109,13 +125,17 @@ def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
 
     This is THE conformance function: the extraction stage must reproduce
     these bytes per url (per-row invariant in BASELINE.json input_hint).
+    ``doc_id % 13 == 0`` payloads carry the inline ``@context``.
     """
     v = _vec(df)
     did = v["doc_id"]
-    case_a = _node(v["pid"], v, None)
-    case_b = _node(v["prov"], v, v["pid"])
+    ctx = pd.Series(np.where(did % 13 == 0, CONTEXT_JSON, ""), index=df.index)
+    case_a = "{" + ctx + _node(v["pid"], v, None).str.slice(1)
+    case_b = "{" + ctx + _node(v["prov"], v, v["pid"]).str.slice(1)
     chain_edge = '{"@id":"' + v["prov"] + '","owl:sameAs":"' + v["pid"] + '"}'
-    case_c = '{"@graph":[' + _node(v["alias"], v, v["prov"]) + "," + chain_edge + "]}"
+    case_c = (
+        "{" + ctx + '"@graph":[' + _node(v["alias"], v, v["prov"]) + "," + chain_edge + "]}"
+    )
 
     out = case_a.where(did % 2 == 1, case_b)
     out = out.where(did % 10 != 0, case_c)
@@ -124,15 +144,34 @@ def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
     return out
 
 
+def second_block_for_documents(df: pd.DataFrame) -> pd.Series:
+    """The second ld+json block (None when absent): planted on valid
+    ``doc_id % 23 == 0`` pages; carries a datatyped + a language-tagged
+    literal at the document's RAW subject."""
+    v = _vec(df)
+    did = v["doc_id"]
+    raw_subj = v["pid"].where(did % 2 == 1, v["prov"]).where(did % 10 != 0, v["alias"])
+    block = (
+        '{"@id":"' + raw_subj + '",'
+        '"schema:dateCreated":{"@value":"2026-01-17","@type":"schema:Date"},'
+        '"schema:alternateName":{"@value":"Fluss ' + v["d"] + '","@language":"de"}}'
+    )
+    valid = (did % 17 != 0) & (did % 19 != 0)
+    return block.where(valid & (did % 23 == 0), None)
+
+
 def pages_from_documents(df: pd.DataFrame) -> pd.DataFrame:
     """documents rows → pages rows (url, warc_ts, html, text, lang)."""
     v = _vec(df)
     url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
     payload = jsonld_for_documents(df)
     script = ('<script type="application/ld+json">' + payload + "</script>").fillna("")
+    block2 = second_block_for_documents(df)
+    script2 = ('<script type="application/ld+json">' + block2 + "</script>").fillna("")
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"
         + script
+        + script2
         + "</head><body><p>" + df["text"].astype(str) + "</p></body></html>"
     )
     ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(v["doc_id"] % AMPLIFY_STRIDE, unit="s")

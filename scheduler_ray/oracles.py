@@ -4,11 +4,17 @@ Every page/JSON-LD byte is a pure function of the ``documents`` table
 (see corpus.py), so ANSI SQL can reconstruct extraction output and golden
 triples by string concatenation.  These fragments MUST mirror corpus.py
 rule-for-rule; tests/test_oracles.py locks the two together.
+
+Round-2 corpus rules mirrored here (see corpus.py docstring):
+``doc_id%13==0`` documents carry an inline @context (full-IRI predicates
+and type), nested geo nodes expand to blank-node triples
+(``_:<raw subject>#b0``), and valid ``doc_id%23==0`` pages have a second
+ld+json block with a datatyped + language-tagged literal.
 """
 
 from __future__ import annotations
 
-from .corpus import MALFORMED_JSON
+from .corpus import CONTEXT_JSON, HYF_IRI, MALFORMED_JSON, SCHEMA_IRI
 
 # ---- shared scalar fragments over the `documents` view -------------------
 D = "CAST(doc_id AS VARCHAR)"
@@ -34,10 +40,47 @@ DOMAIN = (
 )
 URL = f"'https://' || {DOMAIN} || '/' || source || '/items/' || {D}"
 
+#: context / multi-block gates
+CTX = "(doc_id % 13 = 0)"
+MULTI = f"({VALID} AND doc_id % 23 = 0)"
+
+#: predicate spellings — full IRIs for @context documents
+_P_IRI = {
+    "schema:name": SCHEMA_IRI + "name",
+    "schema:description": SCHEMA_IRI + "description",
+    "schema:geo": SCHEMA_IRI + "geo",
+    "schema:latitude": SCHEMA_IRI + "latitude",
+    "schema:longitude": SCHEMA_IRI + "longitude",
+}
+
+
+def _pred(term: str) -> str:
+    return f"CASE WHEN {CTX} THEN '{_P_IRI[term]}' ELSE '{term}' END"
+
+
+P_NAME, P_DESC, P_GEO, P_LAT, P_LON = (
+    _pred(t)
+    for t in (
+        "schema:name",
+        "schema:description",
+        "schema:geo",
+        "schema:latitude",
+        "schema:longitude",
+    )
+)
+TYPE_OBJ = f"CASE WHEN {CTX} THEN '{HYF_IRI}HY_HydroLocation' ELSE 'hyf:HY_HydroLocation' END"
+
+
+def _blank(subj: str) -> str:
+    """The deterministic blank-node label the expansion allocates for a
+    document's nested geo node: ``_:<root subject>#b0``."""
+    return f"'_:' || {subj} || '#b0'"
+
 
 def _node_sql(subj: str, sameas: str | None) -> str:
+    """The inner (post-'{') JSON bytes of one feature node."""
     parts = [
-        "'{\"@id\":\"' || " + subj + " || '\",\"@type\":\"hyf:HY_HydroLocation\"'",
+        "'\"@id\":\"' || " + subj + " || '\",\"@type\":\"hyf:HY_HydroLocation\"'",
         "',\"schema:name\":\"' || " + NAME + " || '\"'",
         "',\"schema:description\":\"' || " + DESC + " || '\"'",
         "',\"schema:geo\":{\"schema:latitude\":' || " + LAT + " || ',\"schema:longitude\":' || " + LON + " || '}'",
@@ -48,10 +91,18 @@ def _node_sql(subj: str, sameas: str | None) -> str:
     return " || ".join(parts)
 
 
-CASE_A = _node_sql(PID, None)
-CASE_B = _node_sql(PROV, PID)
+_CTX_SQL = f"CASE WHEN {CTX} THEN '{CONTEXT_JSON}' ELSE '' END"
+
+CASE_A = "'{' || " + _CTX_SQL + " || " + _node_sql(PID, None)
+CASE_B = "'{' || " + _CTX_SQL + " || " + _node_sql(PROV, PID)
 _CHAIN_EDGE = "'{\"@id\":\"' || " + PROV + " || '\",\"owl:sameAs\":\"' || " + PID + " || '\"}'"
-CASE_C = "'{\"@graph\":[' || " + _node_sql(ALIAS, PROV) + " || ',' || " + _CHAIN_EDGE + " || ']}'"
+CASE_C = (
+    "'{' || " + _CTX_SQL + " || '\"@graph\":[{' || "
+    + _node_sql(ALIAS, PROV)
+    + " || ',' || "
+    + _CHAIN_EDGE
+    + " || ']}'"
+)
 
 _ML = MALFORMED_JSON.replace("'", "''")
 EXTRACTED = (
@@ -67,43 +118,71 @@ RAW_SUBJ = (
     f"WHEN doc_id % 2 = 0 THEN {PROV} ELSE {PID} END"
 )
 
+#: the second ld+json block (NULL when absent) — corpus.second_block_for_documents
+SECOND_BLOCK = (
+    f"CASE WHEN {MULTI} THEN "
+    "'{\"@id\":\"' || " + RAW_SUBJ + " || '\",'"
+    " || '\"schema:dateCreated\":{\"@value\":\"2026-01-17\",\"@type\":\"schema:Date\"},'"
+    " || '\"schema:alternateName\":{\"@value\":\"Fluss ' || " + D + " || '\",\"@language\":\"de\"}}'"
+    " ELSE NULL END"
+)
 
-def _payload_rows(subj: str) -> list[tuple[str, str, str, str]]:
-    """(pred, obj, obj_is_literal) select fragments for one node payload."""
+
+def _payload_rows(subj: str, blank_root: str) -> list[tuple[str, str, str, str]]:
+    """(subj, pred, obj, obj_is_literal) fragments for one node payload —
+    the geo struct expands to a blank node rooted at ``blank_root``."""
+    blank = _blank(blank_root)
     return [
-        ("'rdf:type'", "'hyf:HY_HydroLocation'", "FALSE"),
-        ("'schema:name'", NAME, "TRUE"),
-        ("'schema:description'", DESC, "TRUE"),
-        ("'schema:latitude'", LAT, "TRUE"),
-        ("'schema:longitude'", LON, "TRUE"),
+        (subj, "'rdf:type'", TYPE_OBJ, "FALSE"),
+        (subj, P_NAME, NAME, "TRUE"),
+        (subj, P_DESC, DESC, "TRUE"),
+        (subj, P_GEO, blank, "FALSE"),
+        (blank, P_LAT, LAT, "TRUE"),
+        (blank, P_LON, LON, "TRUE"),
     ]
 
 
-def _triples_union(subj: str, where: str, extra: list[tuple[str, str, str, str]] | None = None) -> str:
-    selects = []
-    for pred, obj, lit in _payload_rows(subj):
-        selects.append(
-            f"SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj, "
-            f"{lit} AS obj_is_literal, source AS graph FROM documents WHERE {where}"
-        )
-    for subj_e, pred, obj, lit, extra_where in extra or []:
-        selects.append(
-            f"SELECT {subj_e} AS subj, {pred} AS pred, {obj} AS obj, "
-            f"{lit} AS obj_is_literal, source AS graph FROM documents WHERE {extra_where}"
-        )
+def _triples_union(rows: list[tuple[str, str, str, str, str]]) -> str:
+    """UNION ALL of (subj, pred, obj, lit, where) select fragments."""
+    selects = [
+        f"SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj, "
+        f"{lit} AS obj_is_literal, source AS graph FROM documents WHERE {where}"
+        for subj, pred, obj, lit, where in rows
+    ]
     return " UNION ALL ".join(selects)
 
 
-#: raw triples = payload at raw subject + sameAs edges + linker triples
+def _with_where(
+    payload: list[tuple[str, str, str, str]], where: str
+) -> list[tuple[str, str, str, str, str]]:
+    return [(s, p, o, lit, where) for s, p, o, lit in payload]
+
+
+_MULTI_ROWS = [
+    (
+        "'schema:dateCreated'",
+        "'2026-01-17^^schema:Date'",
+        "TRUE",
+    ),
+    (
+        "'schema:alternateName'",
+        f"'Fluss ' || {D} || '@de'",
+        "TRUE",
+    ),
+]
+
+#: raw triples = payload at raw subject (+ blank geo node) + sameAs edges
+#: + second-block literals + linker triples
 RAW_TRIPLES_SQL = _triples_union(
-    RAW_SUBJ,
-    VALID,
-    extra=[
+    _with_where(_payload_rows(RAW_SUBJ, RAW_SUBJ), VALID)
+    + [
         # case B 1-hop sameAs
         (PROV, "'owl:sameAs'", PID, "FALSE", f"{VALID} AND doc_id % 2 = 0 AND doc_id % 10 <> 0"),
         # case C 2-hop chain
         (ALIAS, "'owl:sameAs'", PROV, "FALSE", f"{VALID} AND doc_id % 10 = 0"),
         (PROV, "'owl:sameAs'", PID, "FALSE", f"{VALID} AND doc_id % 10 = 0"),
+        # second-block typed/lang literals at the raw subject
+        *[(RAW_SUBJ, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
         # linker emission at raw subject
         (
             RAW_SUBJ,
@@ -112,14 +191,15 @@ RAW_TRIPLES_SQL = _triples_union(
             "FALSE",
             f"{VALID} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
         ),
-    ],
+    ]
 )
 
-#: canonical = payload at PID, sameAs dropped, linker triple at PID
+#: canonical = payload at PID (blank labels keep the RAW root), sameAs
+#: dropped, second-block literals + linker triple at PID
 CANONICAL_TRIPLES_SQL = _triples_union(
-    PID,
-    VALID,
-    extra=[
+    _with_where(_payload_rows(PID, RAW_SUBJ), VALID)
+    + [
+        *[(PID, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
         (
             PID,
             "'hyf:linearElement'",
@@ -127,7 +207,7 @@ CANONICAL_TRIPLES_SQL = _triples_union(
             "FALSE",
             f"{VALID} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
         ),
-    ],
+    ]
 )
 
 EXTRACT_SQL = f"SELECT {URL} AS url, source AS source, {EXTRACTED} AS extracted FROM documents"

@@ -26,19 +26,48 @@ from ray.data.aggregate import Max
 
 from ..stages.spatial import hilbert_index
 
+#: both predicate spellings (prefixed / @context-expanded IRI)
 _FIELD_PREDS = {
     "schema:name": "feature_name",
+    "https://schema.org/name": "feature_name",
     "schema:description": "feature_description",
+    "https://schema.org/description": "feature_description",
     "schema:latitude": "lat_milli",
+    "https://schema.org/latitude": "lat_milli",
     "schema:longitude": "lon_milli",
+    "https://schema.org/longitude": "lon_milli",
 }
+_GEO_PREDS = {"schema:geo", "https://schema.org/geo"}
 
 
 def _pivot_partial(b: pd.DataFrame) -> pd.DataFrame:
-    b = b[b["pred"].isin(_FIELD_PREDS) | (b["pred"] == "rdf:type")]
+    """Partial per-batch pivot.
+
+    lat/lon live on the geo BLANK node (``expand.py`` emits
+    ``(feature, schema:geo, _:…#b0)`` + the coordinates at the label);
+    the blank→feature edge is resolved batch-locally.  Partitioning
+    assumption: a document's rows are contiguous within one batch —
+    true for the expansion/canonicalization stream this pivot consumes
+    (do NOT run it over pred-partitioned files).
+    """
+    b = b[b["pred"].isin(_FIELD_PREDS) | b["pred"].isin(_GEO_PREDS)]
+    blank_parent: dict = {}
+    for subj, pred, obj in zip(b["subj"], b["pred"], b["obj"]):
+        if pred in _GEO_PREDS:
+            blank_parent[obj] = subj
     rows: dict[tuple, dict] = {}
     for subj, pred, obj, graph in zip(b["subj"], b["pred"], b["obj"], b["graph"]):
-        r = rows.setdefault(subj, {"id": subj, "geoconnex_sitemap": graph})
+        if pred in _GEO_PREDS:
+            rows.setdefault(subj, {"id": subj, "geoconnex_sitemap": graph})
+            continue
+        if subj.startswith("_:"):
+            # coordinate row on a blank node → credit the parent feature
+            parent = blank_parent.get(subj)
+            if parent is None:
+                continue  # orphan blank (parent in another batch) — skip
+            r = rows.setdefault(parent, {"id": parent, "geoconnex_sitemap": graph})
+        else:
+            r = rows.setdefault(subj, {"id": subj, "geoconnex_sitemap": graph})
         if pred in _FIELD_PREDS:
             r[_FIELD_PREDS[pred]] = obj
     out = pd.DataFrame(list(rows.values()))

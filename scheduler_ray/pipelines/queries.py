@@ -624,11 +624,12 @@ def q_mm_metadata(sf_dir: str):
 
 
 def sql_mm_metadata() -> str:
-    from ..oracles import D, EXTRACTED, URL
+    from ..oracles import D, EXTRACTED, SECOND_BLOCK, URL
 
     html = (
         f"'<html><head><title>Feature ' || {D} || '</title>' || "
         f"COALESCE('<script type=\"application/ld+json\">' || ({EXTRACTED}) || '</script>', '') || "
+        f"COALESCE('<script type=\"application/ld+json\">' || ({SECOND_BLOCK}) || '</script>', '') || "
         "'</head><body><p>' || text || '</p></body></html>'"
     )
     return f"""

@@ -110,10 +110,14 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool) -> pa.Table:
     files, preds, rows = [], [], []
     # split by pred → hive layout (pred column dropped from the file,
     # reconstructed from the dir name at read, like write_parquet does)
+    from urllib.parse import quote
+
     pred_col = tbl["pred"]
     for p in pc.unique(pred_col).to_pylist():
         part = tbl.filter(pc.equal(pred_col, p)).drop_columns(["pred"])
-        pdir = os.path.join(out_dir, f"pred={p}")
+        # percent-encode the partition value (IRI preds contain '/');
+        # read_graph decodes — same convention as Ray's write_parquet
+        pdir = os.path.join(out_dir, f"pred={quote(p, safe='')}")
         os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, f"part-{stem}.parquet")
         _atomic_write(part, path)

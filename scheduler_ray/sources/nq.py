@@ -39,11 +39,27 @@ def _escape_literal(v: str) -> str:
     return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
+import re as _re
+
+#: BCP-47-ish language tag at the end of an encoded literal ("Fluss 7@de")
+_LANG_SUFFIX = _re.compile(r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$")
+
+
 def triple_to_nq(subj: str, pred: str, obj: str, is_literal: bool, graph: str) -> str:
     s = f"<{expand_curie(subj)}>"
     p = f"<{expand_curie(pred)}>"
     if is_literal:
-        o = f'"{_escape_literal(obj)}"'
+        # split the expansion stage's encoded lexical forms back into
+        # real N-Quads literal syntax: "lex"^^<dt> and "lex"@lang
+        # (stages/expand.py module docstring documents the encoding)
+        if "^^" in obj:
+            lex, dt = obj.rsplit("^^", 1)
+            o = f'"{_escape_literal(lex)}"^^<{expand_curie(dt)}>'
+        elif "@" in obj and _LANG_SUFFIX.match(obj.rsplit("@", 1)[1]):
+            lex, lang = obj.rsplit("@", 1)
+            o = f'"{_escape_literal(lex)}"@{lang.lower()}'
+        else:
+            o = f'"{_escape_literal(obj)}"'
     else:
         o = f"<{expand_curie(obj)}>"
     g = f"<urn:graph:{graph}>"

@@ -40,9 +40,16 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from .expand import SAME_AS
+from .expand import SAME_AS, SAME_AS_IRI
 
 PID_PREFIX = "https://pids.geoconnex.dev/"
+
+#: owl:sameAs in both spellings (prefixed and context-expanded)
+_SAMEAS_SET = pa.array([SAME_AS, SAME_AS_IRI], pa.large_string())
+
+
+def _is_sameas(pred_col) -> pa.ChunkedArray:
+    return pc.is_in(pred_col, value_set=_SAMEAS_SET)
 
 
 class UnionFind:
@@ -85,7 +92,7 @@ def sameas_edges_batch(batch: pa.Table) -> pa.Table:
     deduplicates identical pairs and pointer-jumps the rare cross-batch
     chain (see collect_sameas_arrays).
     """
-    mask = pc.equal(batch["pred"], SAME_AS)
+    mask = _is_sameas(batch["pred"])
     edges = batch.filter(mask)
     if edges.num_rows == 0:
         return PAIR_SCHEMA.empty_table()
@@ -363,7 +370,7 @@ def local_canonicalize_batch(tbl: pa.Table, drop_sameas: bool = True):
         )
         tbl = CanonicalRewriter(lut, drop_sameas=drop_sameas)(tbl)
     elif drop_sameas:
-        tbl = tbl.filter(pc.not_equal(tbl["pred"], SAME_AS))
+        tbl = tbl.filter(pc.invert(_is_sameas(tbl["pred"])))
     return tbl, pairs
 
 
@@ -571,7 +578,7 @@ class CanonicalRewriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.drop_sameas:
-            batch = batch.filter(pc.not_equal(batch["pred"], SAME_AS))
+            batch = batch.filter(pc.invert(_is_sameas(batch["pred"])))
         subj = self._rewrite(batch["subj"])
         # only URI objects are entity references; literal rows skip the
         # probe entirely (mask) and pass through via coalesce

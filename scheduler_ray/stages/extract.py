@@ -24,19 +24,40 @@ from ray.data import Dataset
 # (?s) so the block may span lines; non-greedy so only the first block's
 # content is captured byte-identically.
 _LDJSON_PATTERN = r'(?s)<script type="application/ld\+json">(?P<extracted>.*?)</script>'
+_LDJSON_MARKER = '<script type="application/ld+json">'
 # url shape: https://{domain}/{source}/items/{id} — source is the first path
 # segment (sitemap-id analogue, reference userCode/assetGroups/config.py:124-141).
 _SOURCE_PATTERN = r"^https://[^/]+/(?P<source>[^/]+)/"
 
 
 def extract_jsonld_batch(batch: pa.Table) -> pa.Table:
-    """html:binary → extracted:string (null when no block) + source:string."""
+    """html:binary → extracted + extracted_extra + source.
+
+    ``extracted`` is the FIRST ld+json block's bytes untouched (the
+    conformance invariant).  Pages with additional blocks — detected with
+    one vectorized ``count_substring`` and handled with a Python regex on
+    ONLY those rows (rare) — carry blocks 2..n in ``extracted_extra`` as a
+    JSON array string (null otherwise).
+    """
+    import json
+    import re
+
     html = pc.cast(batch["html"], pa.large_string())
     extracted = pc.struct_field(pc.extract_regex(html, _LDJSON_PATTERN), "extracted")
     source = pc.struct_field(pc.extract_regex(batch["url"], _SOURCE_PATTERN), "source")
+    n_blocks = pc.count_substring(html, _LDJSON_MARKER)
+    extra = [None] * batch.num_rows
+    multi = pc.greater(n_blocks, 1)
+    if pc.any(multi).as_py():
+        pat = re.compile(_LDJSON_PATTERN)
+        for i in pc.indices_nonzero(multi).to_pylist():
+            blocks = pat.findall(html[i].as_py())
+            if len(blocks) > 1:
+                extra[i] = json.dumps(blocks[1:])
     out = batch.drop_columns(["html"])
     out = out.append_column("source", source)
     out = out.append_column("extracted", extracted)
+    out = out.append_column("extracted_extra", pa.array(extra, pa.large_string()))
     return out
 
 

@@ -43,6 +43,9 @@ from .expand import TRIPLE_SCHEMA
 
 LINEAR_ELEMENT = "hyf:linearElement"
 NAME_PRED = "schema:name"
+#: both spellings a document can produce (an inline @context expands the
+#: schema prefix to the full IRI)
+NAME_PREDS = (NAME_PRED, "https://schema.org/name")
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -200,7 +203,7 @@ def link_triples_batch(
     """Pure per-batch link kernel shared by task-mode and actor-mode."""
     import pyarrow.compute as pc
 
-    is_name = pc.equal(batch["pred"], NAME_PRED)
+    is_name = pc.is_in(batch["pred"], value_set=pa.array(NAME_PREDS, pa.large_string()))
     if pc.sum(pc.cast(is_name, pa.int64())).as_py() == 0:
         return batch
     names_t = batch.filter(is_name)

@@ -51,15 +51,25 @@ def test_flagship_golden_membership(fixture_sf0001):
         s == "https://pids.geoconnex.dev/src3/3" and p == "hyf:linearElement"
         for s, p, _ in k
     )
-    # 2-hop chain doc 10: alias/provider URIs fully canonicalized away
-    assert not any("mirror.example" in s or "provider.example" in s for s, _, _ in k)
+    # 2-hop chain doc 10: alias/provider URIs fully canonicalized away as
+    # ENTITIES (blank-node labels deterministically embed the raw root —
+    # "_:<raw>#b0" — and are exempt by construction)
+    assert not any(
+        ("mirror.example" in s or "provider.example" in s) and not s.startswith("_:")
+        for s, _, _ in k
+    )
+    assert not any(
+        ("mirror.example" in o or "provider.example" in o) and not o.startswith("_:")
+        for _, p, o in k
+        if p != "schema:geo" and not p.endswith("/geo")
+    )
 
 
 def test_sorted_partitioned_write(fixture_sf0001, tmp_out):
     out = flagship.run_flagship(fixture_sf0001, out_dir=tmp_out)
     df = out.to_pandas()
     assert set(df.columns) >= {"subj", "obj", "obj_is_literal", "graph", "pred"}
-    assert len(df) == 2337
+    assert len(df) == 2820
 
 
 def test_global_sort_mode_total_order(fixture_sf0001, tmp_out):
@@ -93,7 +103,7 @@ def test_global_sort_mode_total_order(fixture_sf0001, tmp_out):
     spans.sort()
     for (_, prev_end), (cur_start, _) in zip(spans, spans[1:]):
         assert cur_start >= prev_end, (prev_end, cur_start)
-    assert n == 2337
+    assert n == 2820
 
 
 def test_distributed_connected_components():

@@ -70,13 +70,92 @@ def test_expand_basic_nested_and_graph():
         _extracted_batch([("s1", doc), ("s2", None), ("s2", "{bad"), ("s3", graph_doc)])
     )
     rows = set(zip(*[out[c].to_pylist() for c in ["subj", "pred", "obj", "obj_is_literal", "graph"]]))
+    blank = "_:https://p/1#b0"
     assert ("https://p/1", "rdf:type", "hyf:HY_HydroLocation", False, "s1") in rows
     assert ("https://p/1", "schema:name", "N", True, "s1") in rows
-    assert ("https://p/1", "schema:latitude", "5", True, "s1") in rows
+    # anonymous nested node → deterministic blank label, not flattening
+    assert ("https://p/1", "schema:geo", blank, False, "s1") in rows
+    assert (blank, "schema:latitude", "5", True, "s1") in rows
+    assert (blank, "schema:longitude", "-7", True, "s1") in rows
     assert ("https://p/1", "owl:sameAs", "https://q/1", False, "s1") in rows
     assert ("a", "x", "1", True, "s3") in rows
     assert ("b", "owl:sameAs", "https://c", False, "s3") in rows
-    assert len(rows) == 7  # type,name,lat,lon,sameAs from doc1 + 2 from @graph doc
+    assert len(rows) == 8  # type,name,geo-edge,lat,lon,sameAs + 2 from @graph doc
+
+
+def test_expand_context_typed_literals_and_extra_blocks():
+    """Round-2 JSON-LD subset: @context prefix expansion, datatyped /
+    language-tagged value objects, multiple script blocks.  The sample
+    mirrors real-world schema.org structured data."""
+    doc = (
+        '{"@context":{"schema":"https://schema.org/","hyf":"https://www.opengis.net/def/schema/hy_features/hyf/"},'
+        '"@id":"https://p/2","@type":"hyf:HY_HydroLocation",'
+        '"schema:name":"Gauge","schema:geo":{"schema:latitude":1,"schema:longitude":2}}'
+    )
+    extra = (
+        '["{\\"@id\\":\\"https://p/2\\",'
+        '\\"schema:dateCreated\\":{\\"@value\\":\\"2026-01-17\\",\\"@type\\":\\"schema:Date\\"},'
+        '\\"schema:alternateName\\":{\\"@value\\":\\"Pegel\\",\\"@language\\":\\"de\\"}}"]'
+    )
+    batch = pa.table(
+        {
+            "source": pa.array(["s1"], pa.large_string()),
+            "extracted": pa.array([doc], pa.large_string()),
+            "extracted_extra": pa.array([extra], pa.large_string()),
+        }
+    )
+    out = expand_triples_batch(batch)
+    rows = set(zip(*[out[c].to_pylist() for c in ["subj", "pred", "obj", "obj_is_literal"]]))
+    blank = "_:https://p/2#b0"
+    assert ("https://p/2", "rdf:type",
+            "https://www.opengis.net/def/schema/hy_features/hyf/HY_HydroLocation", False) in rows
+    assert ("https://p/2", "https://schema.org/name", "Gauge", True) in rows
+    assert ("https://p/2", "https://schema.org/geo", blank, False) in rows
+    assert (blank, "https://schema.org/latitude", "1", True) in rows
+    # second block: typed + language-tagged literals (no context there)
+    assert ("https://p/2", "schema:dateCreated", "2026-01-17^^schema:Date", True) in rows
+    assert ("https://p/2", "schema:alternateName", "Pegel@de", True) in rows
+
+
+def test_expand_real_world_schema_org_sample():
+    """A realistic schema.org Dataset JSON-LD block (the shape found on
+    actual data-portal landing pages) expands without loss."""
+    import json
+
+    sample = {
+        "@context": {"@vocab": "https://schema.org/"},
+        "@id": "https://waterdata.example/site/0042",
+        "@type": "Dataset",
+        "name": "Streamflow at site 0042",
+        "publisher": {"@type": "Organization", "name": "Example Water Agency"},
+        "distribution": {
+            "@id": "https://waterdata.example/site/0042.csv",
+            "@type": "DataDownload",
+            "encodingFormat": "text/csv",
+        },
+        "temporalCoverage": {"@value": "2020-01-01/2026-01-01", "@type": "Text"},
+    }
+    batch = pa.table(
+        {
+            "source": pa.array(["src"], pa.large_string()),
+            "extracted": pa.array([json.dumps(sample)], pa.large_string()),
+        }
+    )
+    out = expand_triples_batch(batch)
+    rows = set(zip(*[out[c].to_pylist() for c in ["subj", "pred", "obj", "obj_is_literal"]]))
+    root = "https://waterdata.example/site/0042"
+    assert (root, "rdf:type", "https://schema.org/Dataset", False) in rows
+    assert (root, "https://schema.org/name", "Streamflow at site 0042", True) in rows
+    # anonymous publisher → blank node with its own name triple
+    assert (root, "https://schema.org/publisher", f"_:{root}#b0", False) in rows
+    assert (f"_:{root}#b0", "https://schema.org/name", "Example Water Agency", True) in rows
+    # named nested node → edge + its own typed triples
+    assert (root, "https://schema.org/distribution",
+            "https://waterdata.example/site/0042.csv", False) in rows
+    assert ("https://waterdata.example/site/0042.csv", "rdf:type",
+            "https://schema.org/DataDownload", False) in rows
+    assert (root, "https://schema.org/temporalCoverage",
+            "2020-01-01/2026-01-01^^https://schema.org/Text", True) in rows
 
 
 def test_expand_empty():
