@@ -62,9 +62,9 @@ def run_bench() -> dict:
     ).count()
     # the registry index is a fixture-derived artifact: build it once,
     # untimed (every timed run then loads the pickle cache)
-    from scheduler_ray.stages.link import build_or_load_index
+    from scheduler_ray.stages.link import INDEX_CACHE_NAME, build_or_load_index
 
-    build_or_load_index(f"{fx}/registry.parquet", f"{fx}/registry_index.pkl")
+    build_or_load_index(f"{fx}/registry.parquet", f"{fx}/{INDEX_CACHE_NAME}")
 
     queries: dict[str, float] = {}
     out_dir = f"/tmp/scheduler_ray_bench/out_{NUM_CPUS}"

@@ -18,7 +18,10 @@ class PipelineConfig:
     #: this to ~1024 so batch × concurrency fits worker heaps
     extract_batch_size: int = 4096
     expand_batch_size: int = 4096
-    link_batch_size: int = 8192
+    #: None → whole-block batches: a document's triples are always
+    #: complete within one batch, so the linker's batch-local geo (blank
+    #: node → parent) resolution never splits a document
+    link_batch_size: int | None = None
     rewrite_batch_size: int = 65536
     #: actor-pool widths; autoscaling (min, max) so a small test cluster is
     #: never deadlocked by a pool reserving every CPU (min stays 1, the
@@ -78,7 +81,8 @@ class PipelineConfig:
 
     def validate(self) -> "PipelineConfig":
         for name in ("extract_batch_size", "expand_batch_size", "link_batch_size"):
-            if getattr(self, name) <= 0:
+            v = getattr(self, name)
+            if v is not None and v <= 0:
                 raise ValueError(f"{name} must be positive")
         if self.staging_dir is not None:
             os.makedirs(self.staging_dir, exist_ok=True)

@@ -33,6 +33,7 @@ from ray.data.aggregate import Sum
 
 from ..config import PipelineConfig
 from ..stages.extract import derive_source_batch
+from ..stages.link import INDEX_CACHE_NAME
 from ..state import manifest as mf
 from . import flagship
 
@@ -100,7 +101,7 @@ def run_checkpointed(
     pages = pages.map_batches(only_pending, batch_format="pandas")
     canon = flagship.canonical_triples(
         pages, registry, sources, cfg,
-        index_cache_path=f"{fixture_dir}/registry_index.pkl",
+        index_cache_path=f"{fixture_dir}/{INDEX_CACHE_NAME}",
     )
 
     # per-partition triple count + content hash (partial agg, no shuffle of

@@ -39,7 +39,7 @@ from ..stages.canonicalize import (
 )
 from ..stages.expand import expand_stage
 from ..stages.extract import extract_stage
-from ..stages.link import link_stage
+from ..stages.link import INDEX_CACHE_NAME, link_stage
 
 PAGE_COLUMNS = ["url", "html"]  # prune at the read: warc_ts/text/lang unused here
 
@@ -177,7 +177,7 @@ def run_flagship(
     import os
 
     cfg = (cfg or PipelineConfig()).validate()
-    cache = f"{fixture_dir}/registry_index.pkl"
+    cache = f"{fixture_dir}/{INDEX_CACHE_NAME}"
     # with a warm index cache the (possibly huge) registry frame is never
     # loaded — the lazy parquet path goes straight to the cache check
     registry = f"{fixture_dir}/registry.parquet" if os.path.exists(cache) else None

@@ -46,6 +46,13 @@ NAME_PRED = "schema:name"
 #: both spellings a document can produce (an inline @context expands the
 #: schema prefix to the full IRI)
 NAME_PREDS = (NAME_PRED, "https://schema.org/name")
+GEO_PREDS = ("schema:geo", "https://schema.org/geo")
+LAT_PREDS = ("schema:latitude", "https://schema.org/latitude")
+LON_PREDS = ("schema:longitude", "https://schema.org/longitude")
+
+#: cache file name for the pickled registry index — versioned so older
+#: caches (without the spatial grid) are never reused
+INDEX_CACHE_NAME = "registry_index_v2.pkl"
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -62,7 +69,10 @@ def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
 
 
 class RegistryIndex:
-    """Compact broadcastable token-blocking index over the registry."""
+    """Compact broadcastable index over the registry: token-blocking CSR
+    (J2) + a grid bbox index over the registry geometries (the J1 spatial
+    side, reference release_graph_generator.py:64-77) + a row→token CSR
+    for scoring spatial candidates by name."""
 
     def __init__(self, registry: pd.DataFrame):
         n = len(registry)
@@ -76,6 +86,14 @@ class RegistryIndex:
         rows = pairs["row"].to_numpy(np.int32)
         flat_tokens = pairs["tok"].to_numpy(object)
         h = _hash_tokens(flat_tokens) if len(flat_tokens) else np.array([], _HASH_DTYPE)
+        # row→token CSR (sorted hashes per row) for spatial-candidate
+        # name scoring
+        r_order = np.lexsort((h, rows))
+        r_rows, r_h = rows[r_order], h[r_order]
+        row_counts = np.bincount(r_rows, minlength=n)
+        self.row_tok_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(row_counts, out=self.row_tok_offsets[1:])
+        self.row_tok_hashes = r_h
         order = np.argsort(h, kind="stable")
         h, rows = h[order], rows[order]
         vocab, counts = np.unique(h, return_counts=True)
@@ -92,6 +110,77 @@ class RegistryIndex:
         # exclude the pruned stop-band), so counts come from the kept
         # postings, symmetrically with the query-side hit count.
         self.token_counts = np.bincount(self.flat, minlength=n).astype(np.int32)
+        # spatial grid over the registry bboxes (when present)
+        self.spatial = None
+        bbox_cols = {"bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"}
+        if bbox_cols <= set(registry.columns):
+            from .spatial import GridBBoxIndex
+
+            self.spatial = GridBBoxIndex(registry, id_col="id")
+
+    def link_spatial_batch(
+        self,
+        names: pd.Series,
+        points: "list[tuple[float, float] | None]",
+        min_score: float = 0.5,
+    ) -> tuple[np.ndarray, list, list]:
+        """Spatial-first linking: bbox-containment candidates from the
+        grid index, disambiguated by raw name-token Jaccard; mentions
+        without coordinates (or without any containing bbox, or below
+        ``min_score``) fall back to token blocking (:meth:`link_batch`).
+        """
+        m = len(names)
+        pids: list = [None] * m
+        mainstems: list = [None] * m
+        matched = np.zeros(m, bool)
+        if m == 0:
+            return matched, pids, mainstems
+        has_pt = np.array([p is not None for p in points], bool)
+        if self.spatial is not None and has_pt.any():
+            pt_idx = np.flatnonzero(has_pt)
+            xs = np.array([points[i][0] for i in pt_idx], np.float64)
+            ys = np.array([points[i][1] for i in pt_idx], np.float64)
+            prow, boxes = self.spatial.query_pairs(xs, ys)
+            if len(prow):
+                # name-token sets per probing mention (raw, unpruned)
+                tok_lists = names.iloc[pt_idx].str.lower().str.findall(_TOKEN_RE)
+                tok_sets = [
+                    np.unique(_hash_tokens(np.array(t, object)))
+                    if t
+                    else np.array([], _HASH_DTYPE)
+                    for t in tok_lists
+                ]
+                best: dict[int, tuple[float, int]] = {}
+                for pi, box in zip(prow.tolist(), boxes.tolist()):
+                    q = tok_sets[pi]
+                    lo, hi = self.row_tok_offsets[box], self.row_tok_offsets[box + 1]
+                    r = self.row_tok_hashes[lo:hi]
+                    inter = len(np.intersect1d(q, r, assume_unique=True))
+                    union = len(q) + len(r) - inter
+                    score = inter / union if union else 0.0
+                    cur = best.get(pi)
+                    # deterministic: best score, then smallest registry row
+                    if cur is None or (score, -box) > (cur[0], -cur[1]):
+                        best[pi] = (score, box)
+                for pi, (score, box) in best.items():
+                    if score >= min_score:
+                        gi = int(pt_idx[pi])
+                        matched[gi] = True
+                        pids[gi] = self.ids[int(box)].as_py()
+                        v = self.mainstems[int(box)]
+                        mainstems[gi] = None if not v.is_valid else v.as_py()
+        # fallback: token blocking for everything unresolved
+        rest = np.flatnonzero(~matched)
+        if len(rest):
+            f_matched, f_pids, f_ms = self.link_batch(
+                names.iloc[rest].reset_index(drop=True), min_score
+            )
+            for j, gi in enumerate(rest):
+                if f_matched[j]:
+                    matched[gi] = True
+                    pids[gi] = f_pids[j]
+                    mainstems[gi] = f_ms[j]
+        return matched, pids, mainstems
 
     def link_batch(
         self, names: pd.Series, min_score: float = 0.5
@@ -197,10 +286,49 @@ def build_or_load_index(
     return idx
 
 
+def _subject_points(batch: pa.Table) -> dict[str, tuple[float, float]]:
+    """subject → (x, y) from its geo blank node, resolved batch-locally
+    (a document's rows are contiguous within one expansion batch — the
+    linker runs on whole blocks, see link_stage).  Coordinates are in
+    milli-units in the corpus; divided to match the registry bboxes."""
+    import pyarrow.compute as pc
+
+    geo_mask = pc.is_in(batch["pred"], value_set=pa.array(GEO_PREDS, pa.large_string()))
+    coord_mask = pc.is_in(
+        batch["pred"], value_set=pa.array(LAT_PREDS + LON_PREDS, pa.large_string())
+    )
+    if not pc.any(geo_mask).as_py() or not pc.any(coord_mask).as_py():
+        return {}
+    edges = batch.filter(geo_mask)
+    blank_parent = dict(zip(edges["obj"].to_pylist(), edges["subj"].to_pylist()))
+    coords = batch.filter(coord_mask)
+    lat: dict[str, float] = {}
+    lon: dict[str, float] = {}
+    lat_set = set(LAT_PREDS)
+    for s, p, o in zip(
+        coords["subj"].to_pylist(), coords["pred"].to_pylist(), coords["obj"].to_pylist()
+    ):
+        parent = blank_parent.get(s)
+        if parent is None:
+            continue
+        try:
+            v = float(o)
+        except ValueError:
+            continue
+        (lat if p in lat_set else lon)[parent] = v
+    return {
+        s: (lat[s] / 1000.0, lon[s] / 1000.0) for s in lat.keys() & lon.keys()
+    }
+
+
 def link_triples_batch(
     batch: pa.Table, index: RegistryIndex, mainstems_enabled: dict[str, bool]
 ) -> pa.Table:
-    """Pure per-batch link kernel shared by task-mode and actor-mode."""
+    """Pure per-batch link kernel shared by task-mode and actor-mode.
+
+    Spatial-first (J1): each feature's geo point probes the broadcast
+    grid bbox index; candidates are disambiguated by name; token blocking
+    remains the fallback for features without geometry."""
     import pyarrow.compute as pc
 
     is_name = pc.is_in(batch["pred"], value_set=pa.array(NAME_PREDS, pa.large_string()))
@@ -213,7 +341,10 @@ def link_triples_batch(
         return batch
     sub = names_t.filter(pa.array(enabled))
     names = pd.Series(sub["obj"].to_pylist())
-    matched, _pids, mainstems = index.link_batch(names)
+    pts = _subject_points(batch)
+    subj_list = sub["subj"].to_pylist()
+    points = [pts.get(s) for s in subj_list]
+    matched, _pids, mainstems = index.link_spatial_batch(names, points)
     subjs = sub["subj"].to_pylist()
     sub_graphs = sub["graph"].to_pylist()
     new = [

@@ -206,6 +206,52 @@ def test_registry_index_links_exact_name():
     assert pid is None
 
 
+def test_spatial_linker_disambiguates_identical_names():
+    """Two registry entries share a name; token blocking alone is
+    ambiguous — the bbox containment of the feature's geo point picks the
+    right one (J1: the join is driven by coordinates)."""
+    reg = pd.DataFrame(
+        {
+            "id": ["https://pids.geoconnex.dev/s/a", "https://pids.geoconnex.dev/s/b"],
+            "feature_name": ["Gauge X", "Gauge X"],
+            "mainstem_uri": ["https://m/a", "https://m/b"],
+            "bbox_xmin": [0.0, 10.0],
+            "bbox_ymin": [0.0, 10.0],
+            "bbox_xmax": [1.0, 11.0],
+            "bbox_ymax": [1.0, 11.0],
+        }
+    )
+    idx = RegistryIndex(reg)
+    assert idx.spatial is not None
+    names = pd.Series(["Gauge X", "Gauge X"])
+    matched, pids, ms = idx.link_spatial_batch(names, [(10.5, 10.5), (0.5, 0.5)])
+    assert list(matched) == [True, True]
+    assert pids == ["https://pids.geoconnex.dev/s/b", "https://pids.geoconnex.dev/s/a"]
+    assert ms == ["https://m/b", "https://m/a"]
+    # no coordinates → token fallback (ambiguous name → smallest row wins)
+    matched, pids, _ = idx.link_spatial_batch(pd.Series(["Gauge X"]), [None])
+    assert matched[0] and pids[0] == "https://pids.geoconnex.dev/s/a"
+
+
+def test_link_batch_extracts_geo_points():
+    """link_triples_batch resolves the geo blank node batch-locally and
+    routes the point into the spatial index."""
+    from scheduler_ray.stages.link import _subject_points
+
+    batch = pa.table(
+        {
+            "subj": pa.array(["f1", "_:f1#b0", "_:f1#b0"], pa.large_string()),
+            "pred": pa.array(
+                ["schema:geo", "schema:latitude", "schema:longitude"], pa.large_string()
+            ),
+            "obj": pa.array(["_:f1#b0", "500", "-700"], pa.large_string()),
+            "obj_is_literal": pa.array([False, True, True]),
+            "graph": pa.array(["s", "s", "s"], pa.large_string()),
+        }
+    )
+    assert _subject_points(batch) == {"f1": (0.5, -0.7)}
+
+
 def test_entity_linker_gating():
     reg = pd.DataFrame(
         {
