@@ -65,6 +65,54 @@ def completed_partitions(out_dir: str, input_hashes: dict[str, str]) -> set[str]
     return done
 
 
+def gc_manifests(
+    out_dir: str,
+    *,
+    max_age_s: float,
+    max_delete: int = 100_000,
+    now: float | None = None,
+    delete_data: bool = True,
+) -> list[str]:
+    """A4 retention GC (reference userCode/instance.py:26-51 semantics:
+    fetch records older than the retention window, OLDEST FIRST, bounded
+    batch, delete).
+
+    Deletes up to ``max_delete`` manifests whose ``written_at`` is older
+    than ``max_age_s`` seconds, oldest first; with ``delete_data`` the
+    partition's ``data/graph=<source>/`` directory goes with it.  Returns
+    the deleted partition ids (oldest first).
+    """
+    import shutil
+
+    mdir = os.path.join(out_dir, "manifests")
+    if not os.path.isdir(mdir):
+        return []
+    cutoff = (now if now is not None else time.time()) - max_age_s
+    candidates: list[tuple[float, str, str]] = []
+    for f in os.listdir(mdir):
+        if not f.endswith(".json"):
+            continue
+        p = os.path.join(mdir, f)
+        try:
+            with open(p) as fh:
+                m = json.load(fh)
+        except (ValueError, OSError):
+            continue
+        ts = float(m.get("written_at", 0))
+        if ts < cutoff:
+            candidates.append((ts, m.get("partition_id", os.path.splitext(f)[0]), p))
+    candidates.sort()  # oldest first — the reference's ascending order
+    deleted: list[str] = []
+    for _ts, pid, p in candidates[:max_delete]:
+        os.remove(p)
+        if delete_data:
+            shutil.rmtree(
+                os.path.join(out_dir, "data", f"graph={pid}"), ignore_errors=True
+            )
+        deleted.append(pid)
+    return deleted
+
+
 def all_partitions_complete(out_dir: str, expected: set[str]) -> bool:
     """The export barrier (J5 semantics: proceed only when every partition
     is materialized; reference userCode/lib/dagster.py:62-84)."""

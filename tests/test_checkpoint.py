@@ -112,3 +112,31 @@ def test_lsh_params():
     assert lsh_params(0.6, 64) == (32, 2)
     b, r = lsh_params(0.95, 64)
     assert b * r == 64 and (1 - 0.95**r) ** b <= 1e-6 and r >= 4
+
+
+def test_manifest_gc_oldest_first_bounded(tmp_out):
+    """A4 retention GC: oldest-first order, bounded batch, data dir goes
+    with the manifest (reference instance.py:26-51 semantics)."""
+    import json as _json
+    import os as _os
+
+    from scheduler_ray.state import manifest as mf
+
+    now = 1_000_000.0
+    for i, age in enumerate([500, 100, 300, 10]):  # src0 oldest→src3 newest
+        p = mf.write_manifest(tmp_out, f"src{i}", {"input_hash": "h"})
+        with open(p) as f:
+            m = _json.load(f)
+        m["written_at"] = now - age
+        with open(p, "w") as f:
+            _json.dump(m, f)
+        _os.makedirs(_os.path.join(tmp_out, "data", f"graph=src{i}"), exist_ok=True)
+
+    # bounded batch of 2, retention 50s → the two oldest (src0, src2) go
+    deleted = mf.gc_manifests(tmp_out, max_age_s=50, max_delete=2, now=now)
+    assert deleted == ["src0", "src2"]
+    assert not _os.path.exists(_os.path.join(tmp_out, "data", "graph=src0"))
+    assert _os.path.exists(_os.path.join(tmp_out, "data", "graph=src1"))
+    # second sweep picks up the remaining expired one; src3 is retained
+    assert mf.gc_manifests(tmp_out, max_age_s=50, now=now) == ["src1"]
+    assert mf.load_manifest(tmp_out, "src3") is not None

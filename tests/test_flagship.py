@@ -122,3 +122,33 @@ def test_distributed_connected_components():
     lut = dict(zip(labels["node"], labels["label"]))
     assert lut["a"] == lut["b"] == "https://pids.geoconnex.dev/x/1"
     assert lut["c"] == lut["d"] == "c"
+
+
+def test_distributed_cc_multiblock_chains():
+    """Alias set spread over many blocks with 3-hop chains: the
+    partitioned-join propagation must close every chain without any
+    driver-side label materialization (round-1 verdict item 9)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import connected_components_distributed
+
+    n = 500
+    rows = []
+    for i in range(n):
+        pid = f"https://pids.geoconnex.dev/s/{i}"
+        rows.append({"node": f"https://a.example/{i}", "root": f"https://b.example/{i}"})
+        rows.append({"node": f"https://b.example/{i}", "root": f"https://c.example/{i}"})
+        rows.append({"node": f"https://c.example/{i}", "root": pid})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=0).reset_index(drop=True)
+    edges = rd.from_pandas(df).repartition(8)
+    labels = connected_components_distributed(edges).to_pandas()
+    lut = dict(zip(labels["node"], labels["label"]))
+    bad = [
+        i
+        for i in range(n)
+        if lut.get(f"https://a.example/{i}") != f"https://pids.geoconnex.dev/s/{i}"
+        or lut.get(f"https://c.example/{i}") != f"https://pids.geoconnex.dev/s/{i}"
+    ]
+    assert not bad, bad[:5]
