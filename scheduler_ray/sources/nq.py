@@ -66,6 +66,30 @@ def triple_to_nq(subj: str, pred: str, obj: str, is_literal: bool, graph: str) -
     return f"{s} {p} {o} {g} ."
 
 
+HYF = PREFIXES["hyf:"]
+
+
+def _mainstem_structural_lines(subj: str, mainstem: str, graph_term: str) -> list[str]:
+    """The reference's 3-hop mainstem association structure
+    (?pid hyf:referencedPosition/hyf:HY_IndirectPosition/hyf:linearElement
+    ?mainstem — SPARQL-asserted at reference userCode/defs_test.py:104-130).
+
+    The engine stores the association as ONE flat ``hyf:linearElement``
+    triple; the release writer re-expands it into the reference's quad
+    structure with deterministic blank labels (content-derived, so reruns
+    are byte-identical)."""
+    import hashlib
+
+    h = hashlib.md5(f"{subj}|{mainstem}".encode()).hexdigest()[:12]
+    rp, ip = f"_:rp{h}", f"_:ip{h}"
+    s = f"<{expand_curie(subj)}>"
+    return [
+        f"{s} <{HYF}referencedPosition> {rp} {graph_term} .",
+        f"{rp} <{HYF}HY_IndirectPosition> {ip} {graph_term} .",
+        f"{ip} <{HYF}linearElement> <{expand_curie(mainstem)}> {graph_term} .",
+    ]
+
+
 def _source_path(graphs_dir: str, source: str, salt: int | None = None) -> str:
     safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in source)
     if salt is None:
@@ -85,7 +109,12 @@ def _gzip_lines(lines: list[str]) -> bytes:
 
 
 def write_release_graphs(
-    triples: Dataset, out_dir: str, *, salt_factor: int = 0, hot_fraction: float = 0.2
+    triples: Dataset,
+    out_dir: str,
+    *,
+    salt_factor: int = 0,
+    hot_fraction: float = 0.2,
+    hyf_structural: bool = False,
 ) -> pd.DataFrame:
     """triples → ``{out_dir}/graphs/latest/<source>_release.nq.gz`` per
     source.  Returns a summary frame (source, n_quads, path).
@@ -95,6 +124,10 @@ def write_release_graphs(
     and concatenated in salt order — still one valid ``.nq.gz`` per source
     (gzip members concatenate), but the heaviest source no longer runs as
     one giant group task (SURVEY.md §4 skew handling).
+
+    ``hyf_structural=True`` re-expands flat ``hyf:linearElement`` triples
+    into the reference's 3-hop referencedPosition/HY_IndirectPosition/
+    linearElement quad structure (see :func:`_mainstem_structural_lines`).
     """
     graphs_dir = os.path.join(out_dir, "graphs", "latest")
     os.makedirs(graphs_dir, exist_ok=True)
@@ -102,10 +135,13 @@ def write_release_graphs(
     def render(g: pd.DataFrame, salt: int | None) -> pd.DataFrame:
         source = g["graph"].iloc[0]
         g = g.sort_values(["pred", "subj", "obj"])  # deterministic bytes
-        lines = [
-            triple_to_nq(s, p, o, lit, source)
-            for s, p, o, lit in zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"])
-        ]
+        gterm = f"<urn:graph:{source}>"
+        lines = []
+        for s, p, o, lit in zip(g["subj"], g["pred"], g["obj"], g["obj_is_literal"]):
+            if hyf_structural and p == "hyf:linearElement":
+                lines.extend(_mainstem_structural_lines(s, o, gterm))
+            else:
+                lines.append(triple_to_nq(s, p, o, lit, source))
         path = _source_path(graphs_dir, source, salt)
         with open(path, "wb") as f:
             f.write(_gzip_lines(lines))

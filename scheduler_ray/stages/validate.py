@@ -127,12 +127,86 @@ def validate_parsed(doc, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> l
     return out
 
 
+#: SHACL constraint-component → PropertyShape field mapping used by the
+#: shapes-graph parser (the subset the Geoconnex shapes exercise)
+_SHACL_DT = {
+    "xsd:string": "string",
+    "http://www.w3.org/2001/XMLSchema#string": "string",
+    "xsd:decimal": "number",
+    "xsd:double": "number",
+    "xsd:integer": "number",
+    "http://www.w3.org/2001/XMLSchema#decimal": "number",
+    "http://www.w3.org/2001/XMLSchema#double": "number",
+    "http://www.w3.org/2001/XMLSchema#integer": "number",
+    "sh:IRI": "uri",
+    "http://www.w3.org/ns/shacl#IRI": "uri",
+}
+
+
+def _shacl_prop_to_shape(p: dict) -> PropertyShape:
+    dt = None
+    if "sh:datatype" in p:
+        dt = _SHACL_DT.get(str(p["sh:datatype"]))
+    if p.get("sh:nodeKind") in ("sh:IRI", "http://www.w3.org/ns/shacl#IRI"):
+        dt = "uri"
+    return PropertyShape(
+        path=str(p.get("sh:path", "")),
+        required=int(p.get("sh:minCount", 0) or 0) >= 1,
+        datatype=dt,
+        pattern=p.get("sh:pattern"),
+        min_value=p.get("sh:minInclusive"),
+        max_value=p.get("sh:maxInclusive"),
+    ).compile()
+
+
+def parse_shacl_shapes(doc: "dict | str") -> tuple[tuple[PropertyShape, ...], tuple[PropertyShape, ...]]:
+    """Ingest a shapes GRAPH (SHACL JSON-LD NodeShape subset — the
+    reference feeds real shape graphs to its validator service,
+    reference userCode/lib/containers.py:44-48) instead of hard-coded
+    shapes.
+
+    Accepts a parsed dict or a path to a JSON file.  Recognizes
+    ``sh:NodeShape`` nodes (under ``@graph`` or top-level) with
+    ``sh:property`` lists of {sh:path, sh:minCount, sh:datatype,
+    sh:nodeKind, sh:pattern, sh:minInclusive, sh:maxInclusive}.  A node
+    shape whose ``sh:targetClass``/``@id`` mentions ``geo`` becomes the
+    nested-geo shape set; everything else merges into the document shape
+    set.  Returns ``(shapes, geo_shapes)``.
+    """
+    if isinstance(doc, str):
+        with open(doc) as f:
+            doc = json.load(f)
+    nodes = doc.get("@graph") if isinstance(doc, dict) else None
+    if nodes is None:
+        nodes = [doc]
+    shapes: list[PropertyShape] = []
+    geo_shapes: list[PropertyShape] = []
+    for node in nodes:
+        if not isinstance(node, dict):
+            continue
+        types = node.get("@type", [])
+        types = types if isinstance(types, list) else [types]
+        if not any("NodeShape" in str(t) for t in types):
+            continue
+        ident = str(node.get("@id", "")) + str(node.get("sh:targetClass", ""))
+        target = geo_shapes if "geo" in ident.lower() else shapes
+        props = node.get("sh:property", [])
+        for p in props if isinstance(props, list) else [props]:
+            if isinstance(p, dict) and p.get("sh:path"):
+                target.append(_shacl_prop_to_shape(p))
+    return tuple(shapes), tuple(geo_shapes)
+
+
 class ShaclValidator:
     """Actor-pool / cached-task validation stage: shapes compiled once per
-    worker, documents checked per batch."""
+    worker (optionally ingested from a SHACL JSON-LD shapes graph via
+    ``shapes_path`` — ST3 state), documents checked per batch."""
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, shapes_path: str | None = None):
         self.strict = strict
+        if shapes_path:
+            self.shapes, self.geo_shapes = parse_shacl_shapes(shapes_path)
+            return
         self.shapes = HYDRO_LOCATION_SHAPE
         self.geo_shapes = GEO_SHAPE
 
@@ -158,19 +232,21 @@ def validate_stage(
     strict: bool = False,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 4096,
+    shapes_path: str | None = None,
 ) -> Dataset:
     """Add valid/violations columns.  With ``concurrency`` set, runs as an
-    actor pool; otherwise stateless tasks (shapes are cheap to compile)."""
+    actor pool; otherwise stateless tasks (shapes are cheap to compile).
+    ``shapes_path`` points at a SHACL JSON-LD shapes graph to ingest."""
     if concurrency is not None:
         return extracted.map_batches(
             ShaclValidator,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
-            fn_constructor_kwargs={"strict": strict},
+            fn_constructor_kwargs={"strict": strict, "shapes_path": shapes_path},
             zero_copy_batch=True,
         )
-    validator = ShaclValidator(strict=strict)
+    validator = ShaclValidator(strict=strict, shapes_path=shapes_path)
     return extracted.map_batches(
         validator, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )

@@ -246,3 +246,84 @@ def test_validate_stage_actor_mode(fixture_sf0001):
     ex = extract_stage(flagship.read_pages(fixture_sf0001))
     out = validate_stage(ex, concurrency=(1, 2)).to_pandas()
     assert out["valid"].sum() == 445  # = parseable, shape-conforming docs
+
+
+def test_geoparquet_write_and_check(tmp_out):
+    """S8: GeoParquet written with geo metadata + bbox and validated by
+    check_geoparquet (the reference's post-write check step)."""
+    import pyarrow.parquet as pq
+    import json as _json
+    import os as _os
+
+    from scheduler_ray.pipelines import export as ex
+
+    feats = pd.DataFrame(
+        {
+            "id": ["a", "b"],
+            "geoconnex_sitemap": ["s", "s"],
+            "feature_name": ["A", "B"],
+            "feature_description": ["dA", "dB"],
+            "bbox_xmin": [1.0, -2.0],
+            "bbox_ymin": [2.0, -3.0],
+            "bbox_xmax": [1.0, -2.0],
+            "bbox_ymax": [2.0, -3.0],
+        }
+    )
+    feats["geometry"] = [ex.wkb_point(x, y) for x, y in zip(feats["bbox_xmin"], feats["bbox_ymin"])]
+    from scheduler_ray.stages.spatial import hilbert_index
+
+    feats["hilbert"] = hilbert_index(
+        feats["bbox_xmin"].to_numpy(), feats["bbox_ymin"].to_numpy()
+    )
+    ds = rd.from_pandas(feats)
+    ex.write_geoparquet(ds, tmp_out)  # check=True runs the validator
+    files = [f for f in _os.listdir(tmp_out) if f.endswith(".parquet")]
+    assert files
+    meta = pq.read_table(_os.path.join(tmp_out, files[0])).schema.metadata
+    geo = _json.loads(meta[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    summary = ex.check_geoparquet(tmp_out)
+    assert summary["rows"] == 2
+
+    # a corrupted geometry must be caught
+    bad = feats.copy()
+    bad.loc[0, "geometry"] = b"\x00" * 21
+    bad_dir = tmp_out + "_bad"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ex.write_geoparquet(rd.from_pandas(bad), bad_dir)
+
+
+def test_shacl_shapes_graph_ingestion():
+    """ST3/M2: a SHACL JSON-LD shapes GRAPH ingested from disk validates
+    identically to the built-in shape set over representative documents."""
+    import os as _os
+
+    from scheduler_ray.stages.validate import (
+        GEO_SHAPE,
+        HYDRO_LOCATION_SHAPE,
+        parse_shacl_shapes,
+        validate_doc,
+    )
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scheduler_ray", "shapes", "hydrolocation_shacl.json",
+    )
+    shapes, geo_shapes = parse_shacl_shapes(path)
+    assert {s.path for s in shapes} == {s.path for s in HYDRO_LOCATION_SHAPE}
+    assert {s.path for s in geo_shapes} == {s.path for s in GEO_SHAPE}
+    docs = [
+        '{"@id":"https://pids.geoconnex.dev/x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":5,"schema:longitude":6}}',
+        '{"@id":"https://x/1","@type":"t"}',  # missing name
+        '{"@id":"https://x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":99999999,"schema:longitude":0}}',
+        '{"@id":"notauri","@type":"t","schema:name":"N"}',
+        None,
+        "{bad",
+    ]
+    for d in docs:
+        assert validate_doc(d, shapes, geo_shapes) == validate_doc(
+            d, HYDRO_LOCATION_SHAPE, GEO_SHAPE
+        ), d
