@@ -42,7 +42,10 @@ the ``parse_errors`` lineage metric via :func:`expansion_metrics_batch`.
 
 from __future__ import annotations
 
-import json
+try:  # orjson parses ~3× faster; stdlib json is the portable fallback
+    import orjson as json
+except ImportError:  # pragma: no cover
+    import json
 
 import pyarrow as pa
 

@@ -40,6 +40,7 @@ import ray
 from ray.data import Dataset
 
 from .expand import TRIPLE_SCHEMA
+from .spatial import _ragged_arange
 
 LINEAR_ELEMENT = "hyf:linearElement"
 NAME_PRED = "schema:name"
@@ -142,28 +143,31 @@ class RegistryIndex:
             ys = np.array([points[i][1] for i in pt_idx], np.float64)
             prow, boxes = self.spatial.query_pairs(xs, ys)
             if len(prow):
-                # name-token sets per probing mention (raw, unpruned)
-                tok_lists = names.iloc[pt_idx].str.lower().str.findall(_TOKEN_RE)
-                tok_sets = [
-                    np.unique(_hash_tokens(np.array(t, object)))
-                    if t
-                    else np.array([], _HASH_DTYPE)
-                    for t in tok_lists
-                ]
-                best: dict[int, tuple[float, int]] = {}
-                for pi, box in zip(prow.tolist(), boxes.tolist()):
-                    q = tok_sets[pi]
-                    lo, hi = self.row_tok_offsets[box], self.row_tok_offsets[box + 1]
-                    r = self.row_tok_hashes[lo:hi]
-                    inter = len(np.intersect1d(q, r, assume_unique=True))
-                    union = len(q) + len(r) - inter
-                    score = inter / union if union else 0.0
-                    cur = best.get(pi)
-                    # deterministic: best score, then smallest registry row
-                    if cur is None or (score, -box) > (cur[0], -cur[1]):
-                        best[pi] = (score, box)
-                for pi, (score, box) in best.items():
-                    if score >= min_score:
+                # score spatial pairs by intersecting them with the
+                # token-blocking candidate pairs (same discriminative
+                # DF-pruned Jaccard as link_batch — consistent semantics,
+                # and no per-spatial-pair token enumeration; both sides
+                # are sorted int64 keys)
+                tm, tc, tscore = self._token_candidate_pairs(
+                    names.iloc[pt_idx].reset_index(drop=True)
+                )
+                n_rows = np.int64(len(self.token_counts) + 1)
+                skey = prow.astype(np.int64) * n_rows + boxes
+                tkey = tm * n_rows + tc
+                t_order = np.argsort(tkey)
+                tkey_s = tkey[t_order]
+                pos = np.searchsorted(tkey_s, skey)
+                pos_c = np.clip(pos, 0, max(len(tkey_s) - 1, 0))
+                hit = tkey_s[pos_c] == skey if len(tkey_s) else np.zeros(len(skey), bool)
+                score = np.zeros(len(skey), np.float64)
+                score[hit] = tscore[t_order[pos_c[hit]]]
+                # deterministic argmax per mention: score desc, box asc
+                o3 = np.lexsort((boxes, -score, prow))
+                pr_s, bx_s, sc_s = prow[o3], boxes[o3], score[o3]
+                keep1 = np.ones(len(pr_s), bool)
+                keep1[1:] = pr_s[1:] != pr_s[:-1]
+                for pi, box, sc in zip(pr_s[keep1], bx_s[keep1], sc_s[keep1]):
+                    if sc >= min_score:
                         gi = int(pt_idx[pi])
                         matched[gi] = True
                         pids[gi] = self.ids[int(box)].as_py()
@@ -182,19 +186,16 @@ class RegistryIndex:
                     mainstems[gi] = f_ms[j]
         return matched, pids, mainstems
 
-    def link_batch(
-        self, names: pd.Series, min_score: float = 0.5
-    ) -> tuple[np.ndarray, list, list]:
-        """Vectorized: mention names → (matched_mask, pids, mainstems).
-
-        Returns per-input-name: whether a registry entity was linked, the
-        linked PID (or None) and its mainstem URI (or None).
-        """
+    def _token_candidate_pairs(
+        self, names: pd.Series
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Token-blocking candidate generation: returns parallel arrays
+        ``(mention_idx, registry_row, score)`` for every candidate pair,
+        scored by DF-pruned token Jaccard (unthresholded)."""
         m = len(names)
-        pids: list = [None] * m
-        mainstems: list = [None] * m
+        empty = (np.array([], np.int64), np.array([], np.int64), np.array([], np.float64))
         if m == 0 or len(self.vocab) == 0:
-            return np.zeros(m, bool), pids, mainstems
+            return empty
         tok_lists = names.str.lower().str.findall(_TOKEN_RE).map(
             lambda ts: list(dict.fromkeys(ts))
         )
@@ -206,7 +207,7 @@ class RegistryIndex:
             else np.array([], object)
         )
         if not len(flat):
-            return np.zeros(m, bool), pids, mainstems
+            return empty
         h = _hash_tokens(flat)
         pos = np.searchsorted(self.vocab, h)
         pos_c = np.clip(pos, 0, len(self.vocab) - 1)
@@ -217,11 +218,10 @@ class RegistryIndex:
         starts, ends = self.offsets[pos_h], self.offsets[pos_h + 1]
         counts = (ends - starts).astype(np.int64)
         if counts.sum() == 0:
-            return np.zeros(m, bool), pids, mainstems
+            return empty
         # expand CSR ranges: candidate row per (mention, token) hit
         reps = np.repeat(np.arange(len(counts)), counts)
-        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], np.int64)
-        cand_rows = self.flat[starts[reps] + offs]
+        cand_rows = self.flat[starts[reps] + _ragged_arange(counts)]
         cand_mentions = mention_h[reps]
         # count token intersections per (mention, candidate) pair
         key = cand_mentions.astype(np.int64) * (len(self.token_counts) + 1) + cand_rows
@@ -230,6 +230,20 @@ class RegistryIndex:
         u_cand = (uniq_key % (len(self.token_counts) + 1)).astype(np.int64)
         union = qlens[u_mention] + self.token_counts[u_cand] - inter
         score = inter / np.maximum(union, 1)
+        return u_mention, u_cand, score
+
+    def link_batch(
+        self, names: pd.Series, min_score: float = 0.5
+    ) -> tuple[np.ndarray, list, list]:
+        """Vectorized: mention names → (matched_mask, pids, mainstems).
+
+        Returns per-input-name: whether a registry entity was linked, the
+        linked PID (or None) and its mainstem URI (or None).
+        """
+        m = len(names)
+        pids: list = [None] * m
+        mainstems: list = [None] * m
+        u_mention, u_cand, score = self._token_candidate_pairs(names)
         ok = score >= min_score
         u_mention, u_cand, score = u_mention[ok], u_cand[ok], score[ok]
         if not len(u_mention):
