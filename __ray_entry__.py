@@ -62,8 +62,16 @@ def _q_kg_triples_raw(sf_dir: str):
 
 
 def _q_kg_canonical(sf_dir: str):
+    """Canonical graph via the PRODUCTION path: the single-pass streaming
+    materialize writes the hive-partitioned graph and the result is read
+    back — the oracle gate exercises exactly what a job run produces."""
+    import os
+    import shutil
+
     fx = _fixture(sf_dir)
-    return flagship.run_flagship(fx)
+    out = os.path.join(fx, "canonical_graph")
+    shutil.rmtree(out, ignore_errors=True)
+    return flagship.run_flagship(fx, out_dir=out)
 
 
 def _q_kg_pred_counts(sf_dir: str):

@@ -34,20 +34,59 @@ MEDIA_META_SCHEMA = pa.schema(
 )
 
 
+def sniff_media(payload: bytes) -> dict:
+    """REAL container-header parsing for formats whose headers need no
+    codec: PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER) and
+    WAV (fmt chunk) — pure ``struct``.  Returns
+    ``{media_type, width, height, sample_rate, n_channels}`` (None where
+    not applicable); unknown payloads → ``application/octet-stream``.
+    """
+    import struct
+
+    out = {
+        "media_type": "application/octet-stream",
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_channels": None,
+    }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        out["media_type"] = "image/png"
+        out["width"], out["height"] = struct.unpack(">II", payload[16:24])
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        out["media_type"] = "image/gif"
+        out["width"], out["height"] = struct.unpack("<HH", payload[6:10])
+    elif payload[:2] == b"BM" and len(payload) >= 26:
+        out["media_type"] = "image/bmp"
+        out["width"], out["height"] = struct.unpack("<ii", payload[18:26])
+        out["height"] = abs(out["height"])  # top-down BMPs store negative
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 36:
+        out["media_type"] = "audio/wav"
+        if payload[12:16] == b"fmt ":
+            out["n_channels"], out["sample_rate"] = struct.unpack("<HI", payload[22:28])
+    return out
+
+
 def media_metadata_batch(batch: pa.Table, id_col: str = "url", payload_col: str = "html") -> pa.Table:
     """Typed metadata extraction over an opaque binary column (vectorized
-    length; per-row sha256 is unavoidable but C-speed)."""
+    length; per-row sha256 is unavoidable but C-speed).  The media_type
+    comes from REAL magic-byte sniffing (:func:`sniff_media`)."""
     payload = batch[payload_col]
     import pyarrow.compute as pc
 
     n_bytes = pc.binary_length(pc.cast(payload, pa.large_binary()))
-    shas = [hashlib.sha256(v.as_py()).hexdigest() for v in payload]
+    shas = []
+    types = []
+    for v in payload:
+        b = v.as_py()
+        shas.append(hashlib.sha256(b).hexdigest())
+        types.append(sniff_media(b)["media_type"])
     return pa.Table.from_arrays(
         [
             pc.cast(batch[id_col], pa.large_string()),
             pc.cast(n_bytes, pa.int64()),
             pa.array(shas, pa.large_string()),
-            pa.array(["application/octet-stream"] * batch.num_rows, pa.large_string()),
+            pa.array(types, pa.large_string()),
         ],
         schema=MEDIA_META_SCHEMA,
     )
@@ -81,15 +120,22 @@ class MediaDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "strict":
             raise NotImplementedError(
-                "media decode requires image/audio codecs not present in this "
-                "environment; run with mode='fake' for the deterministic stub"
+                "media PIXEL decode requires image/audio codecs not present in "
+                "this environment; run with mode='fake' — container headers "
+                "(PNG/GIF/BMP/WAV) are still parsed for real via sniff_media"
             )
         ids, widths, heights, feats = [], [], [], []
         for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
             digest = hashlib.sha256(payload).digest()
             ids.append(url)
-            widths.append(int.from_bytes(digest[0:2], "big") % 4096)
-            heights.append(int.from_bytes(digest[2:4], "big") % 4096)
+            info = sniff_media(payload)
+            if info["width"] is not None:
+                # real dimensions from the container header
+                widths.append(int(info["width"]))
+                heights.append(int(info["height"]))
+            else:
+                widths.append(int.from_bytes(digest[0:2], "big") % 4096)
+                heights.append(int.from_bytes(digest[2:4], "big") % 4096)
             # deterministic fake embedding: first 16 digest bytes → float32s
             feats.append((np.frombuffer(digest[:16], np.uint8) / 255.0).astype(np.float32))
         return pa.Table.from_arrays(

@@ -327,3 +327,26 @@ def test_shacl_shapes_graph_ingestion():
         assert validate_doc(d, shapes, geo_shapes) == validate_doc(
             d, HYDRO_LOCATION_SHAPE, GEO_SHAPE
         ), d
+
+
+def test_sniff_media_real_headers():
+    """Container-header metadata is parsed for REAL (no codec needed):
+    PNG IHDR, GIF screen descriptor, BMP info header, WAV fmt chunk."""
+    import struct
+
+    from scheduler_ray.stages.multimodal import MediaDecoder, sniff_media
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 40
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 128, -64) + b"\x00" * 20
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00" + struct.pack("<HHI", 1, 2, 44100) + b"\x00" * 20
+    assert sniff_media(png) == {"media_type": "image/png", "width": 640, "height": 480, "sample_rate": None, "n_channels": None}
+    assert sniff_media(gif)["media_type"] == "image/gif" and sniff_media(gif)["width"] == 320
+    assert sniff_media(bmp)["width"] == 128 and sniff_media(bmp)["height"] == 64
+    w = sniff_media(wav)
+    assert w["media_type"] == "audio/wav" and w["sample_rate"] == 44100 and w["n_channels"] == 2
+    assert sniff_media(b"<html>...")["media_type"] == "application/octet-stream"
+    # decoder surfaces real header dimensions when present
+    batch = pa.table({"url": pa.array(["p"]), "html": pa.array([png], pa.binary())})
+    out = MediaDecoder(mode="fake")(batch)
+    assert out["width"][0].as_py() == 640 and out["height"][0].as_py() == 480
