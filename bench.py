@@ -124,7 +124,7 @@ def main() -> None:
         # minimum estimates the uncontended machine.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-        reps = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+        reps = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
         runs_lo = [run_at(lo) for _ in range(reps)]
         runs_hi = [run_at(hi) for _ in range(reps)]
         r_lo = min(runs_lo, key=lambda r: r["value"])
