@@ -79,6 +79,39 @@ class PipelineConfig:
     single_pass: bool = True
     extra: dict = field(default_factory=dict)
 
+    @classmethod
+    def from_env(cls, environ=None) -> "PipelineConfig":
+        """F10 — env→typed config layer with fail-fast validation
+        (reference userCode/lib/env.py: every var read through typed
+        coercion, unknown/invalid values fail at job start, not mid-run).
+
+        Recognized vars: ``SCHEDULER_RAY_<FIELD>`` for every scalar
+        dataclass field, e.g. ``SCHEDULER_RAY_EXTRACT_BATCH_SIZE=2048``,
+        ``SCHEDULER_RAY_VALIDATE_DOCS=false``, ``SCHEDULER_RAY_SORT_MODE=
+        global``, ``SCHEDULER_RAY_STAGING_DIR=/data/stage``.
+        """
+        import dataclasses
+        import os as _os
+
+        from .functions.scalars import env_bool, env_int
+
+        environ = _os.environ if environ is None else environ
+        kwargs = {}
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for name, f in fields.items():
+            raw = environ.get(f"SCHEDULER_RAY_{name.upper()}")
+            if raw is None:
+                continue
+            if f.type in ("int", "int | None"):
+                kwargs[name] = env_int(raw, 0) or (None if f.type == "int | None" else 0)
+            elif f.type == "bool":
+                kwargs[name] = env_bool(raw)
+            elif f.type in ("str", "str | None"):
+                kwargs[name] = raw or None
+            else:
+                raise ValueError(f"env override not supported for field {name}")
+        return cls(**kwargs).validate()
+
     def validate(self) -> "PipelineConfig":
         for name in ("extract_batch_size", "expand_batch_size", "link_batch_size"):
             v = getattr(self, name)

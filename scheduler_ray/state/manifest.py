@@ -113,6 +113,31 @@ def gc_manifests(
     return deleted
 
 
+def failure_report(out_dir: str, expected_hashes: dict[str, str]) -> dict:
+    """The failure-alerting analogue of the reference's run-failure Slack
+    sensor (reference userCode/defs.py:129-138): summarize which expected
+    partitions are MISSING a manifest (failed / never ran) and which are
+    STALE (manifest present but input_hash no longer matches).  A caller
+    wires this to whatever notifier exists; in-sandbox the report itself
+    is the signal (and is what a rerun will redo).
+    """
+    missing, stale, ok = [], [], []
+    for pid, h in sorted(expected_hashes.items()):
+        m = load_manifest(out_dir, pid)
+        if m is None:
+            missing.append(pid)
+        elif m.get("input_hash") != h:
+            stale.append(pid)
+        else:
+            ok.append(pid)
+    return {
+        "missing": missing,
+        "stale": stale,
+        "ok": ok,
+        "healthy": not missing and not stale,
+    }
+
+
 def all_partitions_complete(out_dir: str, expected: set[str]) -> bool:
     """The export barrier (J5 semantics: proceed only when every partition
     is materialized; reference userCode/lib/dagster.py:62-84)."""

@@ -61,3 +61,57 @@ def test_scalar_functions():
     assert fn.format_gb(2_500_000_000) == "2.50 GB"
     assert fn.env_bool("TRUE") and not fn.env_bool(None)
     assert fn.env_int(" 7 ") == 7 and fn.env_int(None, 3) == 3
+
+
+def test_structured_log_parse():
+    """M6: JSON log lines route to levels; bad lines fall back to info
+    (reference userCode/lib/dagster.py:33-59 contract)."""
+    import pyarrow as pa
+
+    from scheduler_ray.functions.logs import level_counts, parse_log_batch, parse_log_line
+
+    assert parse_log_line('{"level": "error", "msg": "boom"}') == ("error", "boom")
+    assert parse_log_line('{"level": "WARN", "msg": "w"}') == ("warning", "w")
+    assert parse_log_line("not json at all") == ("info", "not json at all")
+    assert parse_log_line('{"level": "weird", "msg": "m"}') == ("info", "m")
+    batch = pa.table({"line": pa.array(
+        ['{"level":"error","msg":"a"}', "plain", '{"level":"debug","msg":"d"}', None]
+    )})
+    out = parse_log_batch(batch)
+    assert out["level"].to_pylist() == ["error", "info", "debug", "info"]
+    c = level_counts(batch)
+    assert c["error"] == 1 and c["info"] == 2 and c["debug"] == 1
+
+
+def test_config_from_env():
+    """F10: env → typed config with fail-fast validation."""
+    import pytest
+
+    from scheduler_ray.config import PipelineConfig
+
+    env = {
+        "SCHEDULER_RAY_EXTRACT_BATCH_SIZE": "2048",
+        "SCHEDULER_RAY_VALIDATE_DOCS": "false",
+        "SCHEDULER_RAY_SORT_MODE": "global",
+        "SCHEDULER_RAY_SALT_FACTOR": "4",
+    }
+    cfg = PipelineConfig.from_env(env)
+    assert cfg.extract_batch_size == 2048
+    assert cfg.validate_docs is False
+    assert cfg.sort_mode == "global" and cfg.salt_factor == 4
+    with pytest.raises(ValueError):
+        PipelineConfig.from_env({"SCHEDULER_RAY_EXPAND_BATCH_SIZE": "-5"})
+
+
+def test_failure_report():
+    from scheduler_ray.state import manifest as mf
+
+    out = "/tmp/failure_report_test"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    mf.write_manifest(out, "a", {"input_hash": "h1"})
+    mf.write_manifest(out, "b", {"input_hash": "OLD"})
+    rep = mf.failure_report(out, {"a": "h1", "b": "h2", "c": "h3"})
+    assert rep == {"missing": ["c"], "stale": ["b"], "ok": ["a"], "healthy": False}
+    shutil.rmtree(out, ignore_errors=True)
