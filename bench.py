@@ -80,11 +80,22 @@ def run_bench() -> dict:
     n_triples = pads.dataset(out_dir).count_rows()
 
     # secondary per-stage timings (no write): extraction-only throughput
+    # (also the no-engine bandwidth baseline for scaling analysis) and the
+    # raw extract→expand→link chain, so regressions are attributable
     t0 = time.time()
     from scheduler_ray.stages.extract import extract_stage
 
     n_pages = extract_stage(flagship.read_pages(fx)).count()
     queries["kg_extract"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    registry = f"{fx}/registry.parquet"
+    sources = flagship.load_sources_only(fx)
+    flagship.raw_triples(
+        flagship.read_pages(fx), registry, sources, cfg,
+        index_cache_path=f"{fx}/{INDEX_CACHE_NAME}",
+    ).count()
+    queries["kg_raw_triples"] = round(time.time() - t0, 3)
 
     ray.shutdown()
     return {

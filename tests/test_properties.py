@@ -110,3 +110,90 @@ def test_cross_batch_merge_matches_naive_uf(edges, n_splits):
     keys, vals = collect_sameas_arrays(ds)
     got = dict(zip(keys.to_pylist(), vals.to_pylist()))
     assert got == _naive_canonical(edges)
+
+
+# --------------------------- JSON-LD expansion properties (round 2)
+import json as _json
+
+_term_st = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_value_st = st.one_of(
+    st.text(alphabet="xyz 0123456789", min_size=0, max_size=20),
+    st.integers(-1000, 1000),
+    st.booleans(),
+)
+_nested_st = st.dictionaries(
+    _term_st.map(lambda t: f"schema:{t}"), _value_st, min_size=1, max_size=3
+)
+_doc_st = st.fixed_dictionaries(
+    {"@id": st.just("https://x.example/root")},
+    optional={
+        "@type": _term_st,
+        "schema:name": _value_st,
+        "schema:geo": _nested_st,
+        "schema:extra": _nested_st,
+    },
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doc_st)
+def test_expansion_blank_node_invariants(doc):
+    """Every anonymous nested node yields exactly one parent edge to a
+    fresh, document-unique blank label, and the nested node's own triples
+    sit at that label — no flattening onto the parent, no lost values."""
+    from scheduler_ray.stages.expand import expand_triples_batch
+
+    batch = pa.table(
+        {
+            "source": pa.array(["s"], pa.large_string()),
+            "extracted": pa.array([_json.dumps(doc)], pa.large_string()),
+        }
+    )
+    out = expand_triples_batch(batch)
+    rows = list(
+        zip(*(out[c].to_pylist() for c in ("subj", "pred", "obj", "obj_is_literal")))
+    )
+    blank_objs = [o for _, _, o, lit in rows if not lit and o.startswith("_:")]
+    assert len(blank_objs) == len(set(blank_objs))  # labels unique per doc
+    n_nested = sum(1 for k in ("schema:geo", "schema:extra") if k in doc)
+    assert len(blank_objs) == n_nested
+    # each nested scalar value appears at its blank label, not the root
+    for key in ("schema:geo", "schema:extra"):
+        nested = doc.get(key)
+        if not nested:
+            continue
+        (label,) = [o for s, p, o, lit in rows if p == key and not lit]
+        for ck, cv in nested.items():
+            assert any(s == label and p == ck and o == str(cv) for s, p, o, _ in rows)
+            assert not any(
+                s == "https://x.example/root" and p == ck for s, p, _o, _ in rows
+            )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(_term_st, st.just("https://vocab.example/ns#"), min_size=1, max_size=2),
+    _term_st,
+)
+def test_expansion_context_prefix_resolution(ctx, local):
+    """Prefixed predicate keys resolve through @context; unmapped prefixes
+    pass through verbatim."""
+    from scheduler_ray.stages.expand import expand_triples_batch
+
+    pfx = sorted(ctx)[0]
+    doc = {
+        "@context": ctx,
+        "@id": "https://x.example/r",
+        f"{pfx}:{local}": "v",
+        f"unmapped:{local}": "w",
+    }
+    batch = pa.table(
+        {
+            "source": pa.array(["s"], pa.large_string()),
+            "extracted": pa.array([_json.dumps(doc)], pa.large_string()),
+        }
+    )
+    out = expand_triples_batch(batch)
+    preds = set(out["pred"].to_pylist())
+    assert f"https://vocab.example/ns#{local}" in preds
+    assert f"unmapped:{local}" in preds
