@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "ann_lsh": q.q_ann_lsh,
         "embed_neardup": q.q_embed_neardup,
+        "embed_neardup_groups": q.q_embed_neardup_groups,
+        "curation_pipeline": q.q_curation_pipeline,
         "label_counts": q.q_label_counts,
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
@@ -190,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": q.SQL_ANN_TOPK,
         "ann_lsh": q.sql_ann_lsh(),
         "embed_neardup": q.SQL_EMBED_NEARDUP,
+        "embed_neardup_groups": q.SQL_EMBED_NEARDUP_GROUPS,
+        "curation_pipeline": q.SQL_CURATION_PIPELINE,
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),
         "spatial_join": q.SQL_SPATIAL_JOIN,

@@ -513,6 +513,76 @@ FROM embeddings WHERE vec_id % 5 = 0
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Composite training-data curation chain (the shape a 100-TB text
+    pipeline runs end-to-end): quality scoring → threshold filter
+    (n_tokens ≥ 40 and punct_ratio ≤ 0.05) → exact dedup keeping the
+    smallest doc_id → surviving ids.  Every stage is a streaming
+    map_batches / partial-agg op; nothing materializes the corpus."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = tx.quality_stage(docs)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["n_tokens"] >= 40) & (b["punct_ratio"] <= 0.05)][["doc_id"]]
+
+    kept_ids = scored.map_batches(keep, batch_format="pandas")
+    # broadcast semi-join of the surviving id set back onto the text
+    survivors = rel.semi_join(docs, kept_ids.to_pandas()["doc_id"].to_numpy(), on="doc_id")
+    out = dd.exact_dedup(survivors).to_pandas()
+    return pd.DataFrame({"doc_id": np.sort(out["doc_id"].to_numpy())})
+
+
+SQL_CURATION_PIPELINE = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         LEN(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         ROUND(LEN(regexp_extract_all(text, '[^\w\s]')) /
+             GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS punct_ratio
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id FROM q
+WHERE n_tokens >= 40 AND punct_ratio <= 0.05
+GROUP BY text
+"""
+
+
+def q_embed_neardup_groups(sf_dir: str):
+    """Near-duplicate CLUSTERS: LSH pair detection → connected components
+    → one keeper (min vec_id) per cluster, mapping every member to it.
+    With the planted exact copies each cluster is {x, x+PLANT_OFFSET} and
+    the keeper is x — an exact SQL oracle."""
+    from ..stages.canonicalize import _merge_pairs_idx
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b["vec_id"] % 5 == 0
+        copies = b[sel].copy()
+        copies["vec_id"] = copies["vec_id"] + PLANT_OFFSET
+        return pd.concat([b, copies], ignore_index=True)
+
+    corpus = emb.map_batches(plant, batch_format="pandas")
+    pairs = sim.near_duplicates_embedding(corpus, threshold=0.95).to_pandas()
+    # integer min-label union-find over the (small) pair set: numeric ids
+    # are zero-padded so lexicographic == numeric order (min id = keeper)
+    a = np.array([f"{v:012d}" for v in pairs["vec_a"]], object)
+    b = np.array([f"{v:012d}" for v in pairs["vec_b"]], object)
+    canon_idx, uniq = _merge_pairs_idx(a, b)
+    changed = np.flatnonzero(canon_idx != np.arange(len(uniq)))
+    return pd.DataFrame(
+        {
+            "vec_id": [int(uniq[i]) for i in changed],
+            "keeper": [int(uniq[canon_idx[i]]) for i in changed],
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_NEARDUP_GROUPS = f"""
+SELECT vec_id + {PLANT_OFFSET} AS vec_id, vec_id AS keeper
+FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
 def q_label_counts(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["label"])
     return emb.groupby("label").aggregate(Count(alias_name="n"))
