@@ -98,9 +98,13 @@ def canonical_triples(
         tri = tri.materialize()
     t0 = _phase_log("materialize_raw", t0)
     # tree-reduced combiner → remote LUT build; only the ObjectRef comes
-    # back (the driver never holds the mapping bytes)
+    # back (the driver never holds the mapping bytes).  The rewrite tasks
+    # block on the ref themselves, overlapping the merge tail with the
+    # next execution's startup — only the timing mode inserts a barrier
+    # so the phase is attributable.
     mapping = collect_sameas_lut_ref(tri)
-    ray.wait([mapping])  # surface combine/merge errors here, not in the tail
+    if _os.environ.get("SCHEDULER_RAY_TIMINGS"):
+        ray.wait([mapping])
     t0 = _phase_log("collect_mapping", t0)
     # optional lazy coalesce for the rewrite/sort/write tail (fuses into
     # that execution — no extra pass); the hash-LUT rewrite has near-zero
