@@ -99,3 +99,49 @@ def test_single_pass_rerun_idempotent(fixture_sf0001, tmp_out):
         os.path.join(r, f) for r, _, fs in os.walk(tmp_out) for f in fs
     )
     assert files1 == files2
+
+
+def test_cross_batch_fixup_at_volume(tmp_out):
+    """200 sameAs chains split so every hop lands in a different block,
+    plus cross-document references to other docs' aliases: the global
+    merge + sidecar flagging must canonicalize everything, and the result
+    must equal the two-pass broadcast-rewrite output."""
+    import numpy as np
+    import pandas as pd
+
+    from scheduler_ray.stages.canonicalize import (
+        CanonicalRewriter,
+        collect_sameas_arrays,
+    )
+
+    n = 200
+    blocks = {k: [] for k in range(10)}
+    for i in range(n):
+        pid = f"https://pids.geoconnex.dev/s/{i}"
+        alias = f"https://mirror.example/s/{i}"
+        prov = f"https://provider.example/s/{i}"
+        # hops in different blocks; payload in a third; a reference to the
+        # alias from an unrelated document in a fourth
+        blocks[i % 10].append((alias, "owl:sameAs", prov, False, "s"))
+        blocks[(i + 3) % 10].append((prov, "owl:sameAs", pid, False, "s"))
+        blocks[(i + 5) % 10].append((alias, "schema:name", f"F {i}", True, "s"))
+        blocks[(i + 7) % 10].append(
+            (f"https://pids.geoconnex.dev/o/{i}", "schema:about", alias, False, "s")
+        )
+    tables = [_tbl(rows) for rows in blocks.values()]
+    ds = rd.from_arrow(tables)
+    summary = write_canonical_single_pass(ds, tmp_out, drop_sameas=True)
+    assert summary["fixed_files"] > 0
+    got = flagship.read_graph(tmp_out).to_pandas()
+    one = _tripleset(got)
+    # two-pass oracle: global mapping + broadcast rewrite over the union
+    keys, vals = collect_sameas_arrays(ds.materialize())
+    rw = CanonicalRewriter((keys, vals))
+    import pyarrow as pa
+
+    all_rows = pa.concat_tables(tables)
+    two = _tripleset(rw(all_rows).to_pandas().drop_duplicates())
+    assert one == two
+    assert len(got) == 2 * n  # name + about rows (sameAs dropped); no dups
+    assert not any("mirror.example" in o or "provider.example" in o
+                   for _, _, o, _, _ in one)
