@@ -57,6 +57,22 @@ def format_gb(num_bytes: int) -> str:
     return f"{num_bytes / 1e9:.2f} GB"
 
 
+def render_config_template(template: str, variables: dict[str, str]) -> str:
+    """M7 — strict config templating (the reference renders rclone.conf
+    with Jinja2 ``StrictUndefined`` from 8 env vars,
+    userCode/lib/utils.py:100-125): every ``{{ name }}`` placeholder must
+    resolve or rendering fails fast; unused variables are allowed."""
+    import re as _re
+
+    def sub(m: "_re.Match[str]") -> str:
+        name = m.group(1).strip()
+        if name not in variables:
+            raise KeyError(f"undefined template variable: {name}")
+        return str(variables[name])
+
+    return _re.sub(r"\{\{([^}]+)\}\}", sub, template)
+
+
 def env_bool(value: str | None, default: bool = False) -> bool:
     """F10 — env string → bool coercion (userCode/lib/env.py:18-25)."""
     if value is None:

@@ -115,3 +115,43 @@ def test_failure_report():
     rep = mf.failure_report(out, {"a": "h1", "b": "h2", "c": "h3"})
     assert rep == {"missing": ["c"], "stale": ["b"], "ok": ["a"], "healthy": False}
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_render_config_template_strict():
+    """M7: placeholder rendering fails fast on undefined variables
+    (reference rclone template with StrictUndefined)."""
+    import pytest
+
+    from scheduler_ray.functions.scalars import render_config_template
+
+    tpl = "[remote]\ntype = s3\naccess_key_id = {{ key }}\nendpoint = {{ endpoint }}\n"
+    out = render_config_template(tpl, {"key": "K", "endpoint": "https://s3.example", "unused": "x"})
+    assert "access_key_id = K" in out and "endpoint = https://s3.example" in out
+    with pytest.raises(KeyError):
+        render_config_template(tpl, {"key": "K"})
+
+
+def test_sql_sink_chunked_load_and_audit(fixture_sf0001, tmp_out):
+    """S9 analogue: GeoParquet → SQL in bounded chunks, id/sitemap
+    indexes, post-load row-count audit (reference export.py:345-394)."""
+    import os
+
+    from scheduler_ray.pipelines import export as ex, flagship
+    from scheduler_ray.pipelines.sinks import load_geoparquet_to_sql
+
+    canon = flagship.run_flagship(fixture_sf0001)
+    geo_dir = os.path.join(tmp_out, "geo")
+    ex.write_geoparquet(ex.feature_table(canon), geo_dir)
+    db = os.path.join(tmp_out, "features.duckdb")
+    summary = load_geoparquet_to_sql(geo_dir, db, chunk_rows=100)
+    assert summary["rows_in_db"] == summary["rows_loaded"] > 0
+    assert summary["chunks"] >= summary["rows_loaded"] // 100
+
+    import duckdb
+
+    con = duckdb.connect(db)
+    n = con.execute("SELECT count(*) FROM features WHERE id LIKE 'https://pids%'").fetchone()[0]
+    assert n == summary["rows_in_db"]
+    idx = {r[0] for r in con.execute("SELECT index_name FROM duckdb_indexes()").fetchall()}
+    assert {"features_id_idx", "features_sitemap_idx"} <= idx
+    con.close()
