@@ -217,6 +217,64 @@ def _fixup_file(path: str, lut: tuple, drop_sameas: bool) -> int:
     return tbl.num_rows
 
 
+@ray.remote(num_cpus=1)
+def _compact_dir(pdir: str, target_bytes: int) -> int:
+    """Merge this hive partition dir's small files into ~target-size
+    sorted files.  Only files below the target participate; large files
+    are left untouched.  Output files keep the deterministic
+    content-derived naming (idempotent under retry)."""
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    small = [f for f in files if os.path.getsize(f) < target_bytes]
+    if len(small) < 2:
+        return 0
+    merged = 0
+    group: list[str] = []
+    size = 0
+
+    def flush(group: list[str]) -> None:
+        nonlocal merged
+        if len(group) < 2:
+            return
+        tbl = pa.concat_tables([pq.read_table(g) for g in group])
+        tbl = tbl.sort_by([("subj", "ascending")])  # pred constant per dir
+        h = np.uint64(tbl.num_rows)
+        for col in ("subj", "obj", "graph"):
+            hv = _hash_large_string(tbl[col])
+            h ^= np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
+        _atomic_write(tbl, os.path.join(pdir, f"part-{int(h):016x}.parquet"))
+        for g in group:
+            os.remove(g)
+        merged += len(group)
+
+    for f in small:
+        group.append(f)
+        size += os.path.getsize(f)
+        if size >= target_bytes:
+            flush(group)
+            group, size = [], 0
+    flush(group)
+    return merged
+
+
+def compact_partitions(out_dir: str, *, target_mb: int = 128) -> dict:
+    """Post-write compaction sweep over the hive layout (one remote task
+    per pred dir): the single-pass writer emits one file per (block,
+    pred), so rare predicates produce many tiny files — the classic
+    small-file problem at 100 TB.  Compaction merges sub-target files
+    into ~target-size internally-sorted files; per-dir sort order and
+    hive semantics are preserved."""
+    target = target_mb * 1024 * 1024
+    pdirs = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("pred=") and os.path.isdir(os.path.join(out_dir, d))
+    ]
+    merged = ray.get([_compact_dir.remote(d, target) for d in pdirs])
+    return {"dirs": len(pdirs), "files_merged": int(sum(merged))}
+
+
 def write_canonical_single_pass(
     triples: Dataset,
     out_dir: str,

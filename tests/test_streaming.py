@@ -145,3 +145,37 @@ def test_cross_batch_fixup_at_volume(tmp_out):
     assert len(got) == 2 * n  # name + about rows (sameAs dropped); no dups
     assert not any("mirror.example" in o or "provider.example" in o
                    for _, _, o, _, _ in one)
+
+
+def test_compaction_merges_small_files(fixture_sf0001, tmp_out):
+    """Post-write compaction: sub-target files in a pred dir merge into
+    fewer internally-sorted files; triple multiset unchanged."""
+    import os
+
+    from scheduler_ray.pipelines.streaming import compact_partitions
+
+    registry, sources = flagship.load_side_tables(fixture_sf0001)
+    raw = flagship.raw_triples(
+        flagship.read_pages(fixture_sf0001), registry, sources
+    ).repartition(6)  # force one file per (block, pred) — 6 per dir
+    write_canonical_single_pass(raw, tmp_out, drop_sameas=True)
+    before = flagship.read_graph(tmp_out).to_pandas()
+    n_files_before = sum(
+        1 for _r, _d, fs in os.walk(tmp_out) for f in fs if f.endswith(".parquet")
+    )
+    summary = compact_partitions(tmp_out, target_mb=64)
+    assert summary["files_merged"] > 0
+    n_files_after = sum(
+        1 for _r, _d, fs in os.walk(tmp_out) for f in fs if f.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
+    after = flagship.read_graph(tmp_out).to_pandas()
+    assert _tripleset(after) == _tripleset(before)
+    # per-file internal subj order still holds
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(tmp_out):
+        for f in files:
+            if f.endswith(".parquet"):
+                subjs = pq.read_table(os.path.join(root, f), columns=["subj"])["subj"].to_pylist()
+                assert subjs == sorted(subjs)
