@@ -26,6 +26,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "40"))
+#: pad each page's html to ~this many KB (0 = off) — the realistic
+#: Common-Crawl regime where extraction is byte-bound
+PAGE_KB = int(os.environ.get("GRAFT_PAGE_KB", "0"))
 
 
 def run_bench() -> dict:
@@ -50,7 +53,7 @@ def run_bench() -> dict:
     from scheduler_ray.config import PipelineConfig
 
     cfg = PipelineConfig.for_cpus(NUM_CPUS)
-    fx = ensure_pages_fixture(SF_DIR, amplify=AMPLIFY)
+    fx = ensure_pages_fixture(SF_DIR, amplify=AMPLIFY, pad_kb=PAGE_KB)
 
     # warm the OS page cache AND spin up the worker-process pool so the
     # timed run measures compute+shuffle, not first disk read / cold start
@@ -109,6 +112,7 @@ def run_bench() -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / headline, 1),
         "amplify": AMPLIFY,
+        "page_kb": PAGE_KB,
     }
 
 

@@ -160,19 +160,27 @@ def second_block_for_documents(df: pd.DataFrame) -> pd.Series:
     return block.where(valid & (did % 23 == 0), None)
 
 
-def pages_from_documents(df: pd.DataFrame) -> pd.DataFrame:
-    """documents rows → pages rows (url, warc_ts, html, text, lang)."""
+def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
+    """documents rows → pages rows (url, warc_ts, html, text, lang).
+
+    ``pad_kb`` appends that many KB of inert filler to each page body —
+    the BENCH-ONLY knob for the realistic regime where Common-Crawl pages
+    are ~100 KB and extraction is byte-bound.  The ld+json blocks precede
+    the filler, so extraction/expansion semantics (and the oracles, which
+    only run at pad_kb=0) are unchanged.
+    """
     v = _vec(df)
     url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
     payload = jsonld_for_documents(df)
     script = ('<script type="application/ld+json">' + payload + "</script>").fillna("")
     block2 = second_block_for_documents(df)
     script2 = ('<script type="application/ld+json">' + block2 + "</script>").fillna("")
+    filler = "<!--" + "x" * (pad_kb * 1024) + "-->" if pad_kb else ""
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"
         + script
         + script2
-        + "</head><body><p>" + df["text"].astype(str) + "</p></body></html>"
+        + "</head><body><p>" + df["text"].astype(str) + "</p>" + filler + "</body></html>"
     )
     ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(v["doc_id"] % AMPLIFY_STRIDE, unit="s")
     return pd.DataFrame(
@@ -247,33 +255,44 @@ def amplify_documents(df: pd.DataFrame, factor: int) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
-def fixture_dir(sf_dir: str, amplify: int = 1) -> str:
+def fixture_dir(sf_dir: str, amplify: int = 1, pad_kb: int = 0) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/scheduler_ray_fixtures/{tag}_x{amplify}"
+    suffix = f"_p{pad_kb}" if pad_kb else ""
+    return f"/tmp/scheduler_ray_fixtures/{tag}_x{amplify}{suffix}"
 
 
-def ensure_pages_fixture(sf_dir: str, amplify: int = 1, rows_per_file: int = 50_000) -> str:
+def ensure_pages_fixture(
+    sf_dir: str, amplify: int = 1, rows_per_file: int = 50_000, pad_kb: int = 0
+) -> str:
     """Generate (once, cached) pages/registry/sources parquet for sf_dir.
 
     Returns the fixture directory containing ``pages/`` (a directory of
     parquet shards so Ray reads in parallel), ``registry.parquet`` and
     ``sources.parquet``.  Deterministic: same inputs → same bytes.
     """
-    out = fixture_dir(sf_dir, amplify)
+    out = fixture_dir(sf_dir, amplify, pad_kb)
     done = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
     os.makedirs(os.path.join(out, "pages"), exist_ok=True)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
     docs = amplify_documents(docs, amplify)
+    if pad_kb:
+        # keep files (and row groups) splittable: ~64 MB of padded html
+        # per file, else a single multi-GB row group serializes the read
+        rows_per_file = min(rows_per_file, max(512, (64 * 1024) // pad_kb))
     registry = registry_from_documents(docs)
     registry.to_parquet(os.path.join(out, "registry.parquet"), index=False)
     sources_config(docs["source"]).to_parquet(os.path.join(out, "sources.parquet"), index=False)
     for i, lo in enumerate(range(0, len(docs), rows_per_file)):
-        chunk = pages_from_documents(docs.iloc[lo : lo + rows_per_file])
+        chunk = pages_from_documents(docs.iloc[lo : lo + rows_per_file], pad_kb=pad_kb)
         tbl = pa.Table.from_pandas(chunk, preserve_index=False)
         tbl = tbl.replace_schema_metadata(None)  # pandas metadata breaks Ray's schema dedup
-        pq.write_table(tbl, os.path.join(out, "pages", f"part-{i:05d}.parquet"))
+        pq.write_table(
+            tbl,
+            os.path.join(out, "pages", f"part-{i:05d}.parquet"),
+            row_group_size=min(rows_per_file, 4096),
+        )
     with open(done, "w") as f:
         f.write("ok")
     return out
