@@ -7,6 +7,7 @@ The single-job replacement for the reference's Dagster jobs
     python -m scheduler_ray export   --fixture-dir D --out O   # feature table (GeoParquet-shaped)
     python -m scheduler_ray release  --fixture-dir D --out O   # per-source .nq.gz graphs
     python -m scheduler_ray corpus   --sf-dir S [--amplify N]  # build the synthetic page corpus
+    python -m scheduler_ray compact  --out O [--target-mb N]   # merge small hive files post-write
 
 Owns its Ray session (the only places allowed to: CLI, bench.py, test
 fixture).  Designed to run under ``ray job submit`` unchanged — on a real
@@ -41,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("corpus", help="generate the synthetic page corpus")
     sp.add_argument("--sf-dir", required=True)
     sp.add_argument("--amplify", type=int, default=1)
+    sp = sub.add_parser("compact", help="merge small files in a written graph's hive partitions")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-mb", type=int, default=128)
+    sp.add_argument("--local-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -82,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             canon = flagship.run_flagship(args.fixture_dir).materialize()
             summary = write_release_graphs(canon, args.out, salt_factor=args.salt_factor)
             print(json.dumps({"sources": len(summary), "n_quads": int(summary["n_quads"].sum())}))
+        elif args.cmd == "compact":
+            from .pipelines.streaming import compact_partitions
+
+            print(json.dumps(compact_partitions(args.out, target_mb=args.target_mb)))
     finally:
         ray.shutdown()
     return 0
