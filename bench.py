@@ -140,6 +140,10 @@ def main() -> None:
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
         reps = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+        # a bare --scaling should measure the representative scale: small
+        # inputs make the fixed per-execution costs dominate and the
+        # efficiency number meaningless
+        os.environ.setdefault("GRAFT_AMPLIFY", "640")
         runs_lo = [run_at(lo) for _ in range(reps)]
         runs_hi = [run_at(hi) for _ in range(reps)]
         r_lo = min(runs_lo, key=lambda r: r["value"])
