@@ -397,12 +397,21 @@ def q_text_fingerprint(sf_dir: str):
 
 
 # ----------------------------------------------------------- similarity
+def _query_vectors(emb, n: int) -> pd.DataFrame:
+    """The n query vectors (vec_id < n), filtered INSIDE map_batches — only
+    n rows ever reach the driver (round-2 verdict item 3: the old
+    ``emb.to_pandas()`` materialized the whole embeddings table)."""
+    qdf = emb.map_batches(
+        lambda b: b[b["vec_id"] < n], batch_format="pandas"
+    ).to_pandas()
+    return qdf.sort_values("vec_id")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors vec_id<5 against the
     whole corpus (scores rounded to 4; ties broken by vec_id)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qdf = _query_vectors(emb, 5)
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = sim.brute_force_topk(emb, queries, k=10)
     out["query_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
@@ -434,8 +443,7 @@ def q_ann_lsh(sf_dir: str):
     oracle reproduces the exact candidate set + ranking by materializing
     the plane matrix as literals."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qdf = _query_vectors(emb, 5)
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = sim.lsh_ann_topk(
         emb,
@@ -520,14 +528,16 @@ def q_curation_pipeline(sf_dir: str):
     smallest doc_id → surviving ids.  Every stage is a streaming
     map_batches / partial-agg op; nothing materializes the corpus."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    scored = tx.quality_stage(docs)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        return b[(b["n_tokens"] >= 40) & (b["punct_ratio"] <= 0.05)][["doc_id"]]
+        # score and filter in ONE pass, carrying text through — no driver
+        # materialization of surviving ids (round-2 verdict item 2: the old
+        # semi-join pulled every surviving doc_id to the driver)
+        s = tx.quality_score_batch(b)
+        mask = ((s["n_tokens"] >= 40) & (s["punct_ratio"] <= 0.05)).to_numpy()
+        return b.loc[mask, ["doc_id", "text"]]
 
-    kept_ids = scored.map_batches(keep, batch_format="pandas")
-    # broadcast semi-join of the surviving id set back onto the text
-    survivors = rel.semi_join(docs, kept_ids.to_pandas()["doc_id"].to_numpy(), on="doc_id")
+    survivors = docs.map_batches(keep, batch_format="pandas")
     out = dd.exact_dedup(survivors).to_pandas()
     return pd.DataFrame({"doc_id": np.sort(out["doc_id"].to_numpy())})
 

@@ -152,6 +152,13 @@ def lsh_params(threshold: float, n_perm: int = 64, max_miss: float = 1e-6) -> tu
     return best
 
 
+#: signature-estimate pre-filter margin below the verify threshold.  With
+#: 64 permutations, P(estimate < t-0.3 | true Jaccard ≥ t) ≤ e^(-64·KL) ≈
+#: 6e-7 at t=0.8 (Chernoff), so the pre-filter cannot realistically drop a
+#: true pair before exact verification.
+_EST_MARGIN = 0.3
+
+
 def minhash_lsh_pairs(
     docs: Dataset,
     *,
@@ -163,25 +170,48 @@ def minhash_lsh_pairs(
 ) -> Dataset:
     """Near-duplicate pairs (doc_a < doc_b) via MinHash-LSH.
 
-    shingle→minhash per batch (stateless tasks, coefficients rebuilt from
-    the fixed seed — cheaper than shipping state) → explode to
-    (band, band_hash, doc_id) rows → groupby bucket → pairs within bucket
-    → exact shingle-Jaccard verification → global pair dedup.
+    Two-phase, text-free shuffle (round-2 verdict item 1 — the old band
+    explode carried the full ``text`` column ×bands through the all-to-all,
+    a 32× corpus amplification):
+
+    1. **Candidate generation** — shingle→minhash per batch (stateless
+       tasks, coefficients rebuilt from the fixed seed — cheaper than
+       shipping state), explode to ``(band, band_hash, doc_id, sig)`` rows
+       where ``sig`` is the fixed ``n_perm×8``-byte signature (512 B at 64
+       perms — bounded, unlike text).  ``groupby(band, band_hash)``
+       buckets; within a bucket the *signature-estimate* Jaccard (fraction
+       of matching components) prunes pairs below ``threshold - 0.3`` so
+       hot boilerplate buckets don't flood the verify phase.  Candidate
+       pairs globally deduped.
+    2. **Exact verification** — the candidate pair set (pairs ≪ corpus —
+       the documented partitioning assumption) is pulled to the driver,
+       its doc_id set broadcast via ``ray.put``, and a second streaming
+       pass over ``docs`` fetches text for candidate docs ONLY; a
+       ``groupby(pair_id)`` co-locates each pair's two texts for the exact
+       shingle-Jaccard test.  Shuffle bytes: candidate text ×(pairs the
+       doc appears in), never corpus text ×bands.
 
     Recall: with 32 bands × 2 rows, P(miss | j ≥ 0.8) = (1-j²)^32 ≤ 6e-15,
-    so the verified output equals the exact ≥-threshold pair set for
-    practical purposes (the DuckDB oracle computes that set exhaustively).
+    and the estimate pre-filter adds ≤ 6e-7 (see ``_EST_MARGIN``), so the
+    verified output equals the exact ≥-threshold pair set for practical
+    purposes (the DuckDB oracle computes that set exhaustively).
     ``mode='word'`` shingles on word n-grams of size ``k`` instead of
     character k-grams.  With ``bands=None`` the banding is derived from
     the threshold via :func:`lsh_params`.
     """
+    import ray
+    import ray.data as rd
+
     if bands is None:
         bands, _ = lsh_params(jaccard_threshold, n_perm)
     rows_per_band = n_perm // bands
+    est_threshold = max(jaccard_threshold - _EST_MARGIN, 0.05)
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher(n_perm=n_perm, k=k, mode=mode)
         sig = mh.signatures(batch["text"])
+        # one bytes object per doc (n_perm × 8 B), shared across band rows
+        sig_bytes = np.array([row.tobytes() for row in sig], dtype=object)
         out = []
         for b in range(bands):
             band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -196,7 +226,7 @@ def minhash_lsh_pairs(
                         "band": np.int32(b),
                         "band_hash": bh,
                         "doc_id": batch["doc_id"].to_numpy(),
-                        "text": batch["text"].to_numpy(),
+                        "sig": sig_bytes,
                     }
                 )
             )
@@ -204,29 +234,87 @@ def minhash_lsh_pairs(
 
     exploded = docs.map_batches(sigs, batch_format="pandas")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype({"doc_a": "int64", "doc_b": "int64"})
-        g = group.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        texts = g["text"].to_numpy()
-        sh = [(_shingles(t, k) if mode == "char" else _word_grams(t, k)) for t in texts]
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i]) + len(sh[j]) - inter
-                if union and inter / union >= jaccard_threshold:
-                    pa_.append(ids[i])
-                    pb_.append(ids[j])
-        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_}).astype({"doc_a": "int64", "doc_b": "int64"})
+    empty_pairs = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    )
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return empty_pairs
+        g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        if len(g) < 2:
+            return empty_pairs
+        ids = g["doc_id"].to_numpy()
+        S = np.stack([np.frombuffer(b, np.uint64) for b in g["sig"]])
+        ia, ib = np.triu_indices(len(ids), 1)
+        outs = []
+        # chunk the pair axis so hot buckets stay memory-bounded
+        for lo in range(0, len(ia), 1 << 20):
+            sa, sb = ia[lo : lo + (1 << 20)], ib[lo : lo + (1 << 20)]
+            est = (S[sa] == S[sb]).mean(axis=1)
+            ok = est >= est_threshold
+            if ok.any():
+                outs.append(pd.DataFrame({"doc_a": ids[sa[ok]], "doc_b": ids[sb[ok]]}))
+        if not outs:
+            return empty_pairs
+        return pd.concat(outs, ignore_index=True).astype("int64")
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_candidates, batch_format="pandas"
     )
     # a pair can fire in several bands — global dedup (small side)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")).select_columns(
-        ["doc_a", "doc_b"]
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    # ---- phase 2: exact verify, fetching text for candidate docs only
+    pairs_df = cand.to_pandas()  # pairs ≪ corpus (assumption documented above)
+    if pairs_df.empty:
+        return rd.from_pandas(empty_pairs)
+    pairs_df = pairs_df.reset_index(drop=True)
+    members = pd.DataFrame(
+        {
+            "pair_id": np.concatenate([pairs_df.index.to_numpy()] * 2),
+            "doc_id": np.concatenate(
+                [pairs_df["doc_a"].to_numpy(), pairs_df["doc_b"].to_numpy()]
+            ),
+        }
+    )
+    members_ref = ray.put(members)
+    cand_ids_ref = ray.put(np.unique(members["doc_id"].to_numpy()))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(cand_ids_ref)
+        b = batch[batch["doc_id"].isin(ids)][["doc_id", "text"]]
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "pair_id": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                }
+            )
+        return b.merge(ray.get(members_ref), on="doc_id")[["pair_id", "doc_id", "text"]]
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) != 2:
+            return empty_pairs
+        shingle = _shingles if mode == "char" else _word_grams
+        sa, sb = (shingle(t, k) for t in g["text"])
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= jaccard_threshold:
+            ids = g["doc_id"].to_numpy()
+            return pd.DataFrame({"doc_a": [int(ids[0])], "doc_b": [int(ids[1])]})
+        return empty_pairs
+
+    return (
+        docs.map_batches(attach, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(verify_pair, batch_format="pandas")
     )
 
 
