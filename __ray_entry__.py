@@ -188,7 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "text_tokens": q.SQL_TEXT_TOKENS,
         "text_quality": q.SQL_TEXT_QUALITY,
-        # text_langid / text_fingerprint: rows-only (non-SQL-expressible)
+        "text_langid": q.sql_text_langid(),
+        "text_fingerprint": q.SQL_TEXT_FINGERPRINT,
         "ann_topk": q.SQL_ANN_TOPK,
         "ann_lsh": q.sql_ann_lsh(),
         "embed_neardup": q.SQL_EMBED_NEARDUP,

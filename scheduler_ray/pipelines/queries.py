@@ -384,16 +384,109 @@ FROM documents
 """
 
 
+def _plant_stopword_docs(sf_dir: str):
+    """documents ∪ planted pure-stopword docs: EVERY doc_id is re-emitted
+    at doc_id+PLANT_OFFSET with text = the sorted stopword list of language
+    ``[en,es,fr,de][doc_id % 4]`` — so the langid argmax over the planted
+    rows is knowable a-priori, and the SQL oracle can derive the corpus."""
+    langs = list(tx._STOPWORDS)
+    texts = np.array([" ".join(sorted(tx._STOPWORDS[lang])) for lang in langs], object)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        copies = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"] + PLANT_OFFSET,
+                "text": texts[(b["doc_id"] % 4).to_numpy()],
+            }
+        )
+        return pd.concat([b[["doc_id", "text"]], copies], ignore_index=True)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas"
+    )
+
+
 def q_text_langid(sf_dir: str):
-    """Stopword-profile language ID (actor-pool stage; rows-only check —
-    the argmax heuristic is not reasonably SQL-expressible)."""
-    return tx.langid_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+    """Stopword-profile language ID (actor-pool stage) over the base corpus
+    ∪ planted pure-stopword docs (round-2 verdict item 7: full value
+    oracle — the token/argmax rule is SQL-expressible because the corpus
+    text is space-separated lowercase words)."""
+    return tx.langid_stage(_plant_stopword_docs(sf_dir))
+
+
+def sql_text_langid() -> str:
+    langs = list(tx._STOPWORDS)
+    plant_case = " ".join(
+        f"WHEN {i} THEN '{' '.join(sorted(tx._STOPWORDS[lang]))}'"
+        for i, lang in enumerate(langs)
+    )
+    hit_cols = ",\n    ".join(
+        "SUM(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(tx._STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET},
+         CASE doc_id % 4 {plant_case} END
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS tok
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM toks GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CASE WHEN h.doc_id IS NULL OR GREATEST(h.en, h.es, h.fr, h.de) = 0 THEN 'other'
+            WHEN h.en >= h.es AND h.en >= h.fr AND h.en >= h.de THEN 'en'
+            WHEN h.es >= h.fr AND h.es >= h.de THEN 'es'
+            WHEN h.fr >= h.de THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
 
 
 def q_text_fingerprint(sf_dir: str):
-    """Winnowing-style rolling-hash fingerprints (rows-only: the 64-bit
-    hash function is not available in SQL)."""
-    return tx.fingerprint_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+    """Rolling-hash fingerprint stage with planted exact copies
+    (doc_id%11==0 re-emitted at doc_id+PLANT_OFFSET): a copy's fingerprint
+    equals its source's, so grouping the stage output by fingerprint and
+    keeping the (a, a+PLANT_OFFSET) pairs yields EXACTLY the planted set —
+    a full value oracle in the dedup_simhash style (round-2 verdict item
+    7).  Per-doc fingerprint values on the real corpus are pytest-covered
+    (test_fingerprint_*)."""
+    corpus = _docs_with_near_dups(sf_dir, 11, None)
+    fps = tx.fingerprint_stage(corpus)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).astype("int64")
+
+    out = fps.groupby("fingerprint").map_groups(pairs, batch_format="pandas").to_pandas()
+    keep = (
+        (out["doc_b"] - out["doc_a"] == PLANT_OFFSET)
+        & (out["doc_a"] % 11 == 0)
+        & (out["doc_a"] < PLANT_OFFSET)
+    )
+    return out[keep].sort_values("doc_a").reset_index(drop=True)
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id AS doc_a, doc_id + {PLANT_OFFSET} AS doc_b
+FROM documents WHERE doc_id % 11 = 0
+"""
 
 
 # ----------------------------------------------------------- similarity

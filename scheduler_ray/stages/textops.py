@@ -72,24 +72,102 @@ def quality_stage(docs: Dataset) -> Dataset:
     return docs.map_batches(quality_score_batch, batch_format="pandas")
 
 
+def _stopword_key(w: str) -> int:
+    """Little-endian byte-packed key of a (short) stopword."""
+    k = 0
+    for j, b in enumerate(w.encode("utf-8")):
+        k |= b << (8 * j)
+    return k
+
+
 class LangId:
-    """Actor-pool language-ID: stopword tables + regex compiled once per
-    worker (``__init__``), scored per batch (``__call__``)."""
+    """Actor-pool language-ID: byte-class LUT + packed stopword keys built
+    once per worker (``__init__``), scored per batch (``__call__``).
+
+    Fully vectorized at the BYTE level (round-2 verdict item 4 — the old
+    per-row per-token Python loop is gone, and so is per-token string
+    materialization): the batch's text lives in one Arrow data buffer;
+    a 256-entry LUT classifies bytes as in-token (``[a-zà-ÿäöüß]``, with
+    the 0xC3-prefixed UTF-8 pairs handled explicitly), token starts fall
+    out of the class-mask diff, and each token ≤ ``_KEY_BYTES`` long is
+    loaded directly as a little-endian packed integer — a token longer
+    than every stopword can never match, and a padded key can't collide
+    with a longer token because text bytes are never NUL.  Membership is
+    one ``searchsorted`` against the sorted stopword keys; ties keep the
+    old strict-``>`` first-language-wins semantics via ``argmax`` over the
+    language axis in ``_STOPWORDS`` order.  ~1.6× the old loop on 350-char
+    docs and no Python-object traffic (BASELINE.md micro-bench).
+    """
 
     def __init__(self):
-        self.word = re.compile(r"[a-zà-ÿäöüß]+")
-        self.tables = {lang: sw for lang, sw in _STOPWORDS.items()}
+        self.langs = np.array(list(_STOPWORDS), object)  # en, es, fr, de
+        key_mask: dict[int, int] = {}
+        for li, sw in enumerate(_STOPWORDS.values()):
+            for w in sw:
+                key_mask[_stopword_key(w)] = key_mask.get(_stopword_key(w), 0) | (1 << li)
+        self.sw_keys = np.array(sorted(key_mask), np.uint64)
+        self.sw_mask = np.array([key_mask[int(k)] for k in self.sw_keys], np.int64)
+        self.key_bytes = max(len(w.encode("utf-8")) for sw in _STOPWORDS.values() for w in sw)
+        assert self.key_bytes <= 8
+        self.lut = np.zeros(256, bool)
+        self.lut[ord("a") : ord("z") + 1] = True
+
+    def _hits(self, texts) -> tuple[np.ndarray, int]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(texts)
+        arr = pc.utf8_lower(pa.array(texts, pa.large_string()))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], np.int64, len(arr) + 1, arr.offset * 8)
+        buf = np.frombuffer(arr.buffers()[2], np.uint8)
+        buf = buf[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        cls = self.lut[buf]
+        pre = np.flatnonzero(buf == 0xC3)
+        pre = pre[pre + 1 < len(buf)]
+        if len(pre):
+            sec = buf[pre + 1]
+            ok = (sec == 0x9F) | ((sec >= 0xA0) & (sec <= 0xBF))  # ß, à-ÿ
+            cls[pre] = ok
+            cls[pre + 1] = ok
+        ic = np.flatnonzero(cls)
+        hits = np.zeros((len(self.langs), n), np.int64)
+        if not len(ic):
+            return hits, n
+        new_tok = np.ones(len(ic), bool)
+        new_tok[1:] = ic[1:] != ic[:-1] + 1
+        # adjacent docs share the data buffer: force a break at doc starts
+        ds = offs[1:-1]
+        pos = np.searchsorted(ic, ds)
+        v = (pos < len(ic)) & (ic[np.minimum(pos, len(ic) - 1)] == ds)
+        new_tok[pos[v]] = True
+        first = np.flatnonzero(new_tok)
+        starts = ic[first]
+        counts = np.diff(np.append(first, len(ic)))
+        keys = np.zeros(len(first), np.uint64)
+        kb = self.key_bytes
+        short = counts <= kb
+        for j in range(kb):
+            m = short & (counts > j)
+            keys[m] |= buf[starts[m] + j].astype(np.uint64) << np.uint64(8 * j)
+        keys[~short] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        p = np.searchsorted(self.sw_keys, keys)
+        mem = p < len(self.sw_keys)
+        mem[mem] = self.sw_keys[p[mem]] == keys[mem]
+        if mem.any():
+            doc_m = (np.searchsorted(offs, starts, side="right") - 1)[mem]
+            mask_m = self.sw_mask[p[mem]]
+            for li in range(len(self.langs)):
+                sel = (mask_m >> li) & 1 > 0
+                hits[li] = np.bincount(doc_m[sel], minlength=n)
+        return hits, n
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            toks = self.word.findall(text.lower())
-            best, best_n = "other", 0
-            for lang, sw in self.tables.items():
-                nhits = sum(1 for t in toks if t in sw)
-                if nhits > best_n:
-                    best, best_n = lang, nhits
-            preds.append(best)
+        hits, _ = self._hits(batch["text"])
+        best = hits.argmax(axis=0)  # first max index == first-lang-wins
+        preds = np.where(hits.max(axis=0) > 0, self.langs[best], "other")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
 
 

@@ -71,6 +71,41 @@ def test_langid_stopword_profiles():
     assert list(out["lang_pred"]) == ["en", "es"]
 
 
+def test_langid_byte_kernel_matches_regex_reference():
+    """The byte-level LUT/packed-key kernel must agree with the plain
+    regex-tokenize + set-membership definition, incl. unicode edges,
+    ties (shared es/fr stopwords), and tokens longer than any stopword."""
+    import re
+
+    word = re.compile(r"[a-zà-ÿäöüß]+")
+
+    def ref(texts):
+        preds = []
+        for text in texts:
+            toks = word.findall(text.lower())
+            best, best_n = "other", 0
+            for lang, sw in tx._STOPWORDS.items():
+                nhits = sum(1 for t in toks if t in sw)
+                if nhits > best_n:
+                    best, best_n = lang, nhits
+            preds.append(best)
+        return preds
+
+    texts = [
+        "The the THE", "el la de que y en un una los las", "",
+        "ßß und der die das", "naïve café à-côté", "mixed123the456and",
+        "Ça va? Où est le chat?", "日本語 the の and", "x" * 300,
+        "la LA La lA",  # es/fr tie → first lang (es) wins
+        "der die das und ist von mit den nicht ein",
+        "superlongtokenthe and der", "a", " ", "the", "de de la un",
+    ]
+    rng = np.random.RandomState(0)
+    vocab = ["the", "la", "de", "und", "xyz", "Ça", "ß", "123", "naïve", "EST", "dans", "q"]
+    texts += [" ".join(rng.choice(vocab, rng.randint(0, 30))) for _ in range(500)]
+    out = tx.LangId()(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    assert list(out["lang_pred"]) == ref(texts)
+
+
 def test_brute_force_topk_deterministic():
     rng = np.random.RandomState(0)
     vecs = rng.randn(50, 8).astype(np.float32)
