@@ -59,6 +59,27 @@ AMPLIFY_STRIDE = 1_000_000
 
 MALFORMED_JSON = '{"@id": "broken", "schema:name": "unterminated'
 
+#: real-world script-tag variants (round-2 verdict item 2), chosen per page
+#: by ``doc_id % 5`` — extra attributes in any order, quote styles, case,
+#: charset parameter, whitespace before the closing ``>``.  Extraction must
+#: treat all of them identically (reference harvest contract
+#: userCode/lib/containers.py:62-76); the exact bytes are mirrored by
+#: oracles.OPEN_TAG / oracles.CLOSE_TAG for the mm_metadata oracle.
+SCRIPT_OPEN_VARIANTS = (
+    '<script type="application/ld+json">',
+    "<script async type='application/ld+json'>",
+    '<SCRIPT TYPE="application/LD+JSON" data-x="1">',
+    '<script data-y="2" type=application/ld+json>',
+    '<script  type = "application/ld+json; charset=utf-8" >',
+)
+SCRIPT_CLOSE_VARIANTS = (
+    "</script>",
+    "</script>",
+    "</SCRIPT>",
+    "</script>",
+    "</script >",
+)
+
 #: inline @context planted on doc_id%13==0 documents (exact bytes — the
 #: oracle reproduces them)
 CONTEXT_JSON = (
@@ -172,9 +193,12 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     v = _vec(df)
     url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
     payload = jsonld_for_documents(df)
-    script = ('<script type="application/ld+json">' + payload + "</script>").fillna("")
+    vi = (v["doc_id"] % 5).to_numpy()
+    open_tag = pd.Series(np.array(SCRIPT_OPEN_VARIANTS, object)[vi], index=df.index)
+    close_tag = pd.Series(np.array(SCRIPT_CLOSE_VARIANTS, object)[vi], index=df.index)
+    script = (open_tag + payload + close_tag).fillna("")
     block2 = second_block_for_documents(df)
-    script2 = ('<script type="application/ld+json">' + block2 + "</script>").fillna("")
+    script2 = (open_tag + block2 + close_tag).fillna("")
     filler = "<!--" + "x" * (pad_kb * 1024) + "-->" if pad_kb else ""
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"

@@ -14,7 +14,14 @@ ld+json block with a datatyped + language-tagged literal.
 
 from __future__ import annotations
 
-from .corpus import CONTEXT_JSON, HYF_IRI, MALFORMED_JSON, SCHEMA_IRI
+from .corpus import (
+    CONTEXT_JSON,
+    HYF_IRI,
+    MALFORMED_JSON,
+    SCHEMA_IRI,
+    SCRIPT_CLOSE_VARIANTS,
+    SCRIPT_OPEN_VARIANTS,
+)
 
 # ---- shared scalar fragments over the `documents` view -------------------
 D = "CAST(doc_id AS VARCHAR)"
@@ -43,6 +50,19 @@ URL = f"'https://' || {DOMAIN} || '/' || source || '/items/' || {D}"
 #: context / multi-block gates
 CTX = "(doc_id % 13 = 0)"
 MULTI = f"({VALID} AND doc_id % 23 = 0)"
+
+
+def _tag_case(variants: tuple[str, ...]) -> str:
+    """doc_id%5 → the page's script-tag variant bytes (corpus lockstep)."""
+    whens = " ".join(
+        f"WHEN {i} THEN '{t.replace(chr(39), chr(39) * 2)}'" for i, t in enumerate(variants)
+    )
+    return f"CASE doc_id % 5 {whens} END"
+
+
+#: the exact script open/close tag bytes per page (corpus.SCRIPT_*_VARIANTS)
+OPEN_TAG = _tag_case(SCRIPT_OPEN_VARIANTS)
+CLOSE_TAG = _tag_case(SCRIPT_CLOSE_VARIANTS)
 
 #: predicate spellings — full IRIs for @context documents
 _P_IRI = {

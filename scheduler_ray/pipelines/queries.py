@@ -797,12 +797,12 @@ def q_mm_metadata(sf_dir: str):
 
 
 def sql_mm_metadata() -> str:
-    from ..oracles import D, EXTRACTED, SECOND_BLOCK, URL
+    from ..oracles import CLOSE_TAG, D, EXTRACTED, OPEN_TAG, SECOND_BLOCK, URL
 
     html = (
         f"'<html><head><title>Feature ' || {D} || '</title>' || "
-        f"COALESCE('<script type=\"application/ld+json\">' || ({EXTRACTED}) || '</script>', '') || "
-        f"COALESCE('<script type=\"application/ld+json\">' || ({SECOND_BLOCK}) || '</script>', '') || "
+        f"COALESCE(({OPEN_TAG}) || ({EXTRACTED}) || ({CLOSE_TAG}), '') || "
+        f"COALESCE(({OPEN_TAG}) || ({SECOND_BLOCK}) || ({CLOSE_TAG}), '') || "
         "'</head><body><p>' || text || '</p></body></html>'"
     )
     return f"""

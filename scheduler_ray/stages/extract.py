@@ -21,10 +21,24 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-# (?s) so the block may span lines; non-greedy so only the first block's
-# content is captured byte-identically.
-_LDJSON_PATTERN = r'(?s)<script type="application/ld\+json">(?P<extracted>.*?)</script>'
-_LDJSON_MARKER = '<script type="application/ld+json">'
+# Tolerant of real-world script-tag variants (round-2 verdict item 2;
+# reference harvest contract userCode/lib/containers.py:62-76): extra
+# attributes in any order (`async`, `data-*`), any quote style (double /
+# single / none), any case (`<SCRIPT TYPE=`), whitespace around `=`, a
+# `; charset=...` parameter after the mime type, and whitespace before the
+# closing `>`.  RE2-compatible (no lookaround): `<script\s` pins the tag
+# name, `(?:[^>]*\s)?` lets other attributes precede `type` while the
+# required leading whitespace rejects `data-type=`.  (?s) so the block may
+# span lines; non-greedy so only the first block's content is captured
+# byte-identically.
+_LDJSON_PATTERN = (
+    r"(?si)<script\s(?:[^>]*\s)?type\s*=\s*[\"']?application/ld\+json[^\"'>]*[\"']?"
+    r"[^>]*>(?P<extracted>.*?)</script\s*>"
+)
+#: open-tag-only variant for the vectorized multi-block count
+_LDJSON_OPEN = (
+    r"(?i)<script\s(?:[^>]*\s)?type\s*=\s*[\"']?application/ld\+json[^\"'>]*[\"']?[^>]*>"
+)
 # url shape: https://{domain}/{source}/items/{id} — source is the first path
 # segment (sitemap-id analogue, reference userCode/assetGroups/config.py:124-141).
 _SOURCE_PATTERN = r"^https://[^/]+/(?P<source>[^/]+)/"
@@ -45,7 +59,7 @@ def extract_jsonld_batch(batch: pa.Table) -> pa.Table:
     html = pc.cast(batch["html"], pa.large_string())
     extracted = pc.struct_field(pc.extract_regex(html, _LDJSON_PATTERN), "extracted")
     source = pc.struct_field(pc.extract_regex(batch["url"], _SOURCE_PATTERN), "source")
-    n_blocks = pc.count_substring(html, _LDJSON_MARKER)
+    n_blocks = pc.count_substring_regex(html, _LDJSON_OPEN)
     extra = [None] * batch.num_rows
     multi = pc.greater(n_blocks, 1)
     if pc.any(multi).as_py():

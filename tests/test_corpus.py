@@ -54,10 +54,17 @@ def test_pages_deterministic_and_ascii_embed():
     p1 = pages_from_documents(DOCS)
     p2 = pages_from_documents(DOCS.copy())
     pd.testing.assert_frame_equal(p1, p2)
-    # the ld+json block is embedded byte-identically
-    row = p1[p1["url"].str.endswith("/items/2")].iloc[0]
-    j = jsonld_for_documents(DOCS)[2]
-    assert ('<script type="application/ld+json">' + j + "</script>").encode() in row["html"]
+    # the ld+json block is embedded byte-identically, inside the page's
+    # doc_id%5 script-tag variant
+    from scheduler_ray.corpus import SCRIPT_CLOSE_VARIANTS, SCRIPT_OPEN_VARIANTS
+
+    j = jsonld_for_documents(DOCS)
+    for did, suffix in [(2, "/items/2"), (1, "/items/1"), (3, "/items/3")]:
+        row = p1[p1["url"].str.endswith(suffix)].iloc[0]
+        payload = j[DOCS.index[DOCS["doc_id"] == did][0]]
+        vi = did % 5
+        block = SCRIPT_OPEN_VARIANTS[vi] + payload + SCRIPT_CLOSE_VARIANTS[vi]
+        assert block.encode() in row["html"]
 
 
 def test_registry_and_sources():

@@ -50,6 +50,37 @@ def test_extract_multiline_block():
     assert extract_jsonld_batch(b)["extracted"].to_pylist() == [payload]
 
 
+def test_extract_real_world_tag_variants():
+    """Attribute order / quote style / case / whitespace / charset variants
+    all extract byte-identically (reference harvest contract,
+    userCode/lib/containers.py:62-76); lookalike tags must NOT match."""
+    payload = '{"@id":"x"}'
+    good = [
+        f'<script async type=\'application/ld+json\'>{payload}</script>',
+        f'<SCRIPT TYPE="application/LD+JSON" data-x="1">{payload}</SCRIPT>',
+        f'<script data-y="2" type=application/ld+json>{payload}</script>',
+        f'<script  type = "application/ld+json; charset=utf-8" >{payload}</script >',
+        f'<script\ntype="application/ld+json"\nasync>{payload}</script\n>',
+    ]
+    bad = [
+        f'<script type="text/javascript">{payload}</script>',
+        f'<script data-type="application/ld+json">{payload}</script>',  # not type=
+        f'<scriptx type="application/ld+json">{payload}</script>',  # wrong tag
+    ]
+    out = extract_jsonld_batch(_pages_batch([f"<html>{g}</html>" for g in good]))
+    assert out["extracted"].to_pylist() == [payload] * len(good)
+    out_bad = extract_jsonld_batch(_pages_batch([f"<html>{b}</html>" for b in bad]))
+    assert out_bad["extracted"].to_pylist() == [None] * len(bad)
+    # multi-block count is variant-aware: variant first + canonical second
+    two = (
+        f"<x><script async type='application/ld+json'>A</script>"
+        f'<script type="application/ld+json">B</script></x>'
+    )
+    out2 = extract_jsonld_batch(_pages_batch([two]))
+    assert out2["extracted"].to_pylist() == ["A"]
+    assert out2["extracted_extra"].to_pylist() == ['["B"]']
+
+
 def _extracted_batch(pairs):
     return pa.table(
         {
