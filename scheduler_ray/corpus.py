@@ -30,6 +30,12 @@ triples the reference asserts (reference: userCode/defs_test.py:75-80,
   ``<script>`` block with a datatyped (``@value``/``@type``) and a
   language-tagged literal — multi-block extraction + typed-literal
   expansion coverage.
+* ``doc_id % 29 == 0``  (valid docs) → an EXTRA ld+json block exercising
+  the round-3 JSON-LD completeness features: a remote string context
+  (``"https://schema.org"``, resolved via the pinned offline table), a
+  ``@base`` with relative-IRI ``@id``s, an ``@list`` collection
+  (rdf:first/rdf:rest/rdf:nil chain over deterministic blank nodes) and a
+  ``@reverse`` edge — 7 golden triples per such page.
 
 All html/JSON text is pure ASCII so byte lengths equal character counts.
 """
@@ -181,6 +187,27 @@ def second_block_for_documents(df: pd.DataFrame) -> pd.Series:
     return block.where(valid & (did % 23 == 0), None)
 
 
+def third_block_for_documents(df: pd.DataFrame) -> pd.Series:
+    """The JSON-LD-completeness block (None when absent): planted on valid
+    ``doc_id % 29 == 0`` pages.  Remote schema.org context (pinned,
+    offline), ``@base``-relative ``@id``s, an ``@list`` collection and a
+    ``@reverse`` edge (round-2 verdict item 3).  ``alternateName`` (not
+    ``name``) keeps the block out of the entity linker's mention set and
+    the feature-table pivot."""
+    v = _vec(df)
+    did = v["doc_id"]
+    base = PID_PREFIX + v["src"] + "/"
+    block = (
+        '{"@context":["https://schema.org",{"@base":"' + base + '"}],'
+        '"@id":"' + v["d"] + '/extra",'
+        '"alternateName":"Extra node ' + v["d"] + '",'
+        '"itemListElement":{"@list":["first ' + v["d"] + '","second ' + v["d"] + '"]},'
+        '"@reverse":{"isPartOf":{"@id":"' + v["d"] + '/child"}}}'
+    )
+    valid = (did % 17 != 0) & (did % 19 != 0)
+    return block.where(valid & (did % 29 == 0), None)
+
+
 def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     """documents rows → pages rows (url, warc_ts, html, text, lang).
 
@@ -199,11 +226,14 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     script = (open_tag + payload + close_tag).fillna("")
     block2 = second_block_for_documents(df)
     script2 = (open_tag + block2 + close_tag).fillna("")
+    block3 = third_block_for_documents(df)
+    script3 = (open_tag + block3 + close_tag).fillna("")
     filler = "<!--" + "x" * (pad_kb * 1024) + "-->" if pad_kb else ""
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"
         + script
         + script2
+        + script3
         + "</head><body><p>" + df["text"].astype(str) + "</p>" + filler + "</body></html>"
     )
     ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(v["doc_id"] % AMPLIFY_STRIDE, unit="s")

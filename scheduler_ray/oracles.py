@@ -50,6 +50,8 @@ URL = f"'https://' || {DOMAIN} || '/' || source || '/items/' || {D}"
 #: context / multi-block gates
 CTX = "(doc_id % 13 = 0)"
 MULTI = f"({VALID} AND doc_id % 23 = 0)"
+#: JSON-LD-completeness extra block (corpus.third_block_for_documents)
+EXTRA29 = f"({VALID} AND doc_id % 29 = 0)"
 
 
 def _tag_case(variants: tuple[str, ...]) -> str:
@@ -147,6 +149,34 @@ SECOND_BLOCK = (
     " ELSE NULL END"
 )
 
+#: the JSON-LD-completeness block (NULL when absent) —
+#: corpus.third_block_for_documents (remote ctx + @base + @list + @reverse)
+THIRD_BLOCK = (
+    f"CASE WHEN {EXTRA29} THEN "
+    "'{\"@context\":[\"https://schema.org\",{\"@base\":\"https://pids.geoconnex.dev/' || source || '/\"}],'"
+    " || '\"@id\":\"' || " + D + " || '/extra\",'"
+    " || '\"alternateName\":\"Extra node ' || " + D + " || '\",'"
+    " || '\"itemListElement\":{\"@list\":[\"first ' || " + D + " || '\",\"second ' || " + D + " || '\"]},'"
+    " || '\"@reverse\":{\"isPartOf\":{\"@id\":\"' || " + D + " || '/child\"}}}'"
+    " ELSE NULL END"
+)
+
+#: expansion of THIRD_BLOCK: subjects resolved against @base, the @list as
+#: an rdf:first/rdf:rest blank chain, the @reverse edge at the child
+S29 = f"{PID} || '/extra'"
+C29 = f"{PID} || '/child'"
+_B29_0 = f"'_:' || {S29} || '#b0'"
+_B29_1 = f"'_:' || {S29} || '#b1'"
+EXTRA29_ROWS: list[tuple[str, str, str, str, str]] = [
+    (S29, f"'{SCHEMA_IRI}alternateName'", f"'Extra node ' || {D}", "TRUE", EXTRA29),
+    (S29, f"'{SCHEMA_IRI}itemListElement'", _B29_0, "FALSE", EXTRA29),
+    (_B29_0, "'rdf:first'", f"'first ' || {D}", "TRUE", EXTRA29),
+    (_B29_0, "'rdf:rest'", _B29_1, "FALSE", EXTRA29),
+    (_B29_1, "'rdf:first'", f"'second ' || {D}", "TRUE", EXTRA29),
+    (_B29_1, "'rdf:rest'", "'rdf:nil'", "FALSE", EXTRA29),
+    (C29, f"'{SCHEMA_IRI}isPartOf'", S29, "FALSE", EXTRA29),
+]
+
 
 def _payload_rows(subj: str, blank_root: str) -> list[tuple[str, str, str, str]]:
     """(subj, pred, obj, obj_is_literal) fragments for one node payload —
@@ -203,6 +233,8 @@ RAW_TRIPLES_SQL = _triples_union(
         (PROV, "'owl:sameAs'", PID, "FALSE", f"{VALID} AND doc_id % 10 = 0"),
         # second-block typed/lang literals at the raw subject
         *[(RAW_SUBJ, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
+        # third-block completeness triples (@base/@list/@reverse)
+        *EXTRA29_ROWS,
         # linker emission at raw subject
         (
             RAW_SUBJ,
@@ -220,6 +252,8 @@ CANONICAL_TRIPLES_SQL = _triples_union(
     _with_where(_payload_rows(PID, RAW_SUBJ), VALID)
     + [
         *[(PID, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
+        # third-block subjects carry no sameAs — canonical form unchanged
+        *EXTRA29_ROWS,
         (
             PID,
             "'hyf:linearElement'",

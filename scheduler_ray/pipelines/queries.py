@@ -797,12 +797,13 @@ def q_mm_metadata(sf_dir: str):
 
 
 def sql_mm_metadata() -> str:
-    from ..oracles import CLOSE_TAG, D, EXTRACTED, OPEN_TAG, SECOND_BLOCK, URL
+    from ..oracles import CLOSE_TAG, D, EXTRACTED, OPEN_TAG, SECOND_BLOCK, THIRD_BLOCK, URL
 
     html = (
         f"'<html><head><title>Feature ' || {D} || '</title>' || "
         f"COALESCE(({OPEN_TAG}) || ({EXTRACTED}) || ({CLOSE_TAG}), '') || "
         f"COALESCE(({OPEN_TAG}) || ({SECOND_BLOCK}) || ({CLOSE_TAG}), '') || "
+        f"COALESCE(({OPEN_TAG}) || ({THIRD_BLOCK}) || ({CLOSE_TAG}), '') || "
         "'</head><body><p>' || text || '</p></body></html>'"
     )
     return f"""

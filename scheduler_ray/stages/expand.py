@@ -12,10 +12,26 @@ Supported JSON-LD subset (expanded in round 2 toward the reference's full
 JSON-LD→RDF contract):
 
 * ``@context``: prefix definitions (``{"schema": "https://schema.org/"}``),
-  bare-term mappings, and ``@vocab``; applied to predicate keys, ``@type``
-  values and prefixed ``@id`` values.  Unmapped prefixed names pass
-  through verbatim (so ``owl:sameAs`` stays recognizable without an owl
-  prefix entry).
+  bare-term mappings, ``@vocab`` and ``@base``; applied to predicate keys,
+  ``@type`` values and prefixed ``@id`` values.  Unmapped prefixed names
+  pass through verbatim (so ``owl:sameAs`` stays recognizable without an
+  owl prefix entry).  A LIST-valued ``@context`` merges its entries left
+  to right (the common real-world form ``["https://schema.org", {...}]``).
+* **remote string contexts, offline policy** (round-2 verdict item 3):
+  a string entry is resolved against the PINNED builtin table
+  ``PINNED_CONTEXTS`` (``https://schema.org`` and spelling variants →
+  ``@vocab https://schema.org/``, the effective mapping of the published
+  schema.org context for vocabulary terms).  Unknown remote URLs
+  contribute no mappings — terms pass through prefixed/verbatim rather
+  than being silently mis-expanded, and never trigger a network fetch.
+* ``@base`` / relative-IRI resolution: relative ``@id`` values (node ids
+  and references) resolve against ``@base`` with RFC-3986 ``urljoin``
+  semantics; ``@vocab`` never applies to ``@id`` (spec behavior).
+* ``@list``: RDF collection encoding — a chain of deterministic blank
+  nodes with ``rdf:first``/``rdf:rest`` terminated by ``rdf:nil`` (empty
+  list → ``rdf:nil`` directly).
+* ``@reverse``: ``{"@reverse": {p: node}}`` emits ``(node, p, subj)``
+  (reversed direction), expanding the target node's own triples too.
 * ``@graph`` arrays of nodes.
 * value objects: ``{"@value": v, "@type": dt}`` → literal with lexical
   form ``"v^^<expanded dt>"``; ``{"@value": v, "@language": l}`` →
@@ -68,20 +84,41 @@ TRIPLE_SCHEMA = pa.schema(
 )
 
 
+RDF_FIRST = "rdf:first"
+RDF_REST = "rdf:rest"
+RDF_NIL = "rdf:nil"
+
+#: offline policy for remote string contexts: pinned term maps for the
+#: well-known context URLs (the effective vocabulary mapping of the
+#: published schema.org context); unknown URLs contribute nothing and are
+#: never fetched (no network in the engine, by design).
+PINNED_CONTEXTS: dict[str, dict[str, str]] = {
+    "https://schema.org": {"@vocab": "https://schema.org/"},
+    "https://schema.org/": {"@vocab": "https://schema.org/"},
+    "http://schema.org": {"@vocab": "https://schema.org/"},
+    "http://schema.org/": {"@vocab": "https://schema.org/"},
+    "https://schema.org/docs/jsonldcontext.json": {"@vocab": "https://schema.org/"},
+}
+
+
 def _is_uri(v: str) -> bool:
     return v.startswith("http://") or v.startswith("https://")
 
 
 def _parse_context(doc: dict) -> dict[str, str]:
-    """Extract a {prefix-or-term: iri} map from an inline ``@context``
-    (string-valued entries only — remote contexts need the network)."""
+    """{prefix-or-term: iri} map from an inline ``@context``: dict entries
+    (string-valued, incl. ``@vocab``/``@base``), remote string entries via
+    the :data:`PINNED_CONTEXTS` offline table, and list-valued contexts
+    merged left to right."""
     raw = doc.get("@context")
-    if not isinstance(raw, dict):
-        return {}
-    out = {}
-    for k, v in raw.items():
-        if isinstance(v, str):
-            out[k] = v
+    out: dict[str, str] = {}
+    for entry in raw if isinstance(raw, list) else [raw]:
+        if isinstance(entry, str):
+            out.update(PINNED_CONTEXTS.get(entry, {}))
+        elif isinstance(entry, dict):
+            for k, v in entry.items():
+                if isinstance(v, str):
+                    out[k] = v
     return out
 
 
@@ -98,6 +135,29 @@ def _expand_term(term: str, ctx: dict[str, str]) -> str:
             return base + rest
     elif "@vocab" in ctx and not _is_uri(term):
         return ctx["@vocab"] + term
+    return term
+
+
+def _expand_id(term: str, ctx: dict[str, str]) -> str:
+    """Resolve an ``@id`` value: term/prefix mappings, then ``@base`` for
+    relative IRIs.  ``@vocab`` is deliberately NOT applied — per the
+    JSON-LD spec it maps vocabulary terms (keys, ``@type``), never node
+    identifiers."""
+    if not isinstance(term, str) or not ctx:
+        return term
+    if term in ctx:
+        return ctx[term]
+    if _is_uri(term) or term.startswith("_:"):
+        return term
+    if ":" in term:
+        pfx, rest = term.split(":", 1)
+        mapped = ctx.get(pfx)
+        return mapped + rest if mapped else term
+    base = ctx.get("@base")
+    if base:
+        from urllib.parse import urljoin
+
+        return urljoin(base, term)
     return term
 
 
@@ -131,6 +191,51 @@ class _BlankAllocator:
         return label
 
 
+def _emit_value(
+    subj: str,
+    pred: str,
+    v,
+    graph: str,
+    out: list,
+    ctx: dict[str, str],
+    blanks: "_BlankAllocator",
+) -> None:
+    """One (subj, pred, value) emission — shared by regular values and
+    ``@list`` items (where ``pred`` is ``rdf:first``)."""
+    if isinstance(v, dict):
+        if "@list" in v:
+            items = v["@list"] if isinstance(v["@list"], list) else [v["@list"]]
+            if not items:
+                out.append((subj, pred, RDF_NIL, False, graph))
+                return
+            labels = [blanks.next() for _ in items]
+            out.append((subj, pred, labels[0], False, graph))
+            for i, item in enumerate(items):
+                _emit_value(labels[i], RDF_FIRST, item, graph, out, ctx, blanks)
+                rest = labels[i + 1] if i + 1 < len(items) else RDF_NIL
+                out.append((labels[i], RDF_REST, rest, False, graph))
+        elif "@value" in v:
+            lex = _literal_lexical(v, ctx)
+            if lex is not None:
+                out.append((subj, pred, lex, True, graph))
+        elif "@id" in v:
+            # named nested node: edge to it + its own triples
+            target = _expand_id(str(v["@id"]), ctx)
+            _emit_node(v, graph, out, ctx, blanks)
+            out.append((subj, pred, target, False, graph))
+        else:
+            # anonymous nested node → deterministic blank label
+            label = blanks.next()
+            out.append((subj, pred, label, False, graph))
+            _emit_node(v, graph, out, ctx, blanks, subj=label)
+    elif isinstance(v, (str, int, float, bool)):
+        # plain values are literals unless they're absolute IRIs — context
+        # expansion applies to TERMS (keys, @type, @id), never to string
+        # values (JSON-LD: untyped strings are literals)
+        s = str(v)
+        out.append((subj, pred, s, not (isinstance(v, str) and _is_uri(s)), graph))
+
+
 def _emit_node(
     node: dict,
     graph: str,
@@ -143,7 +248,7 @@ def _emit_node(
         subj = node.get("@id")
         if not isinstance(subj, str) or not subj:
             return
-        subj = _expand_term(subj, ctx)
+        subj = _expand_id(subj, ctx)
     if blanks is None:
         blanks = _BlankAllocator(subj)
     for key, val in node.items():
@@ -153,31 +258,22 @@ def _emit_node(
             for t in val if isinstance(val, list) else [val]:
                 out.append((subj, RDF_TYPE, _expand_term(str(t), ctx), False, graph))
             continue
+        if key == "@reverse":
+            if isinstance(val, dict):
+                for rkey, rval in val.items():
+                    rpred = _expand_term(rkey, ctx)
+                    for rv in rval if isinstance(rval, list) else [rval]:
+                        if isinstance(rv, dict) and "@id" in rv:
+                            target = _expand_id(str(rv["@id"]), ctx)
+                            _emit_node(rv, graph, out, ctx, blanks)
+                            out.append((target, rpred, subj, False, graph))
+                        elif isinstance(rv, str):
+                            out.append((_expand_id(rv, ctx), rpred, subj, False, graph))
+            continue
         pred = _expand_term(key, ctx)
         vals = val if isinstance(val, list) else [val]
         for v in vals:
-            if isinstance(v, dict):
-                if "@value" in v:
-                    lex = _literal_lexical(v, ctx)
-                    if lex is not None:
-                        out.append((subj, pred, lex, True, graph))
-                elif "@id" in v:
-                    # named nested node: edge to it + its own triples
-                    target = _expand_term(str(v["@id"]), ctx)
-                    _emit_node(v, graph, out, ctx, blanks)
-                    out.append((subj, pred, target, False, graph))
-                else:
-                    # anonymous nested node → deterministic blank label
-                    label = blanks.next()
-                    out.append((subj, pred, label, False, graph))
-                    _emit_node(v, graph, out, ctx, blanks, subj=label)
-            elif isinstance(v, (str, int, float, bool)):
-                # plain values are literals unless they're absolute IRIs —
-                # context expansion applies to TERMS (keys, @type, @id),
-                # never to string values (JSON-LD: untyped strings are
-                # literals)
-                s = str(v)
-                out.append((subj, pred, s, not (isinstance(v, str) and _is_uri(s)), graph))
+            _emit_value(subj, pred, v, graph, out, ctx, blanks)
 
 
 def _emit_document(payload: str, src: str, rows: list, validate: bool) -> bool:

@@ -148,6 +148,36 @@ def test_expand_context_typed_literals_and_extra_blocks():
     assert ("https://p/2", "schema:alternateName", "Pegel@de", True) in rows
 
 
+def test_expand_base_list_reverse_remote_context():
+    """Round-3 JSON-LD completeness: remote string context via the pinned
+    offline table, @base relative-IRI resolution, @list collections,
+    @reverse edges (reference contract docs/hdt.md:18-21)."""
+    doc = (
+        '{"@context":["https://schema.org",{"@base":"https://b.example/x/"}],'
+        '"@id":"5/extra","alternateName":"Alt",'
+        '"itemListElement":{"@list":["p","q"]},'
+        '"empty":{"@list":[]},'
+        '"@reverse":{"isPartOf":{"@id":"5/child"}}}'
+    )
+    out = expand_triples_batch(_extracted_batch([("s1", doc)]))
+    rows = set(zip(*[out[c].to_pylist() for c in ["subj", "pred", "obj", "obj_is_literal"]]))
+    s = "https://b.example/x/5/extra"
+    b0, b1 = f"_:{s}#b0", f"_:{s}#b1"
+    assert (s, "https://schema.org/alternateName", "Alt", True) in rows
+    assert (s, "https://schema.org/itemListElement", b0, False) in rows
+    assert (b0, "rdf:first", "p", True) in rows
+    assert (b0, "rdf:rest", b1, False) in rows
+    assert (b1, "rdf:first", "q", True) in rows
+    assert (b1, "rdf:rest", "rdf:nil", False) in rows
+    assert (s, "https://schema.org/empty", "rdf:nil", False) in rows
+    assert ("https://b.example/x/5/child", "https://schema.org/isPartOf", s, False) in rows
+    assert len(rows) == 8
+    # @vocab must NOT apply to @id values; fragments resolve against @base
+    frag = '{"@context":["https://schema.org",{"@base":"https://b.example/doc"}],"@id":"#it","name":"F"}'
+    out2 = expand_triples_batch(_extracted_batch([("s1", frag)]))
+    assert out2["subj"].to_pylist() == ["https://b.example/doc#it"]
+
+
 def test_expand_real_world_schema_org_sample():
     """A realistic schema.org Dataset JSON-LD block (the shape found on
     actual data-portal landing pages) expands without loss."""
