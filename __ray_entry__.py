@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
         "spatial_join": q.q_spatial_join,
+        "polygon_join": q.q_polygon_join,
         "mm_metadata": q.q_mm_metadata,
         "event_props": q.q_event_props,
         "kg_error_metrics": q.q_kg_error_metrics,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),
         "spatial_join": q.SQL_SPATIAL_JOIN,
+        "polygon_join": q.SQL_POLYGON_JOIN,
         "mm_metadata": q.sql_mm_metadata(),
         "event_props": q.SQL_EVENT_PROPS,
         "kg_error_metrics": q.SQL_KG_ERROR_METRICS,

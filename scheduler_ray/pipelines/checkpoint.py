@@ -126,23 +126,21 @@ def run_checkpointed(
     tri_count = dict(zip(stats["graph"], stats["triples"]))
     content = dict(zip(stats["graph"], stats["content_hash"]))
 
-    # partitioned write: tmp dir → swap per-source dir → manifest last
-    tmp = os.path.join(out_dir, "_staging")
-    shutil.rmtree(tmp, ignore_errors=True)
-    canon.write_parquet(tmp, partition_cols=["graph"])
+    # partitioned write DIRECTLY into the hive layout — no staging dir and
+    # no driver-side per-partition rename (round-2 verdict item 7: object
+    # stores have no rename).  Atomicity comes from the manifest protocol:
+    # a partition is live only once its manifest (written LAST) matches
+    # the input hash; on resume, pending partitions are cleared first, so
+    # a crash mid-write leaves invisible garbage, never a torn commit.
     data_dir = os.path.join(out_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
+    for src in pending:
+        shutil.rmtree(os.path.join(data_dir, f"graph={src}"), ignore_errors=True)
+    canon.write_parquet(data_dir, partition_cols=["graph"])
     completed = []
     for src in pending:
-        src_tmp = os.path.join(tmp, f"graph={src}")
-        src_dst = os.path.join(data_dir, f"graph={src}")
-        if not os.path.isdir(src_tmp):
-            # a source whose pages all had no/invalid JSON-LD still
-            # completes — with zero triples (exit-3-non-fatal semantics)
-            os.makedirs(src_dst, exist_ok=True)
-        else:
-            shutil.rmtree(src_dst, ignore_errors=True)
-            shutil.move(src_tmp, src_dst)
+        # a source whose pages all had no/invalid JSON-LD still completes
+        # — with zero triples (exit-3-non-fatal semantics)
+        os.makedirs(os.path.join(data_dir, f"graph={src}"), exist_ok=True)
         mf.write_manifest(
             out_dir,
             src,
@@ -154,7 +152,6 @@ def run_checkpointed(
             },
         )
         completed.append(src)
-    shutil.rmtree(tmp, ignore_errors=True)
     return {"completed": completed, "skipped": sorted(done), "failed": []}
 
 

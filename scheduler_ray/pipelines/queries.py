@@ -784,6 +784,42 @@ WHERE ((p.doc_id*37) % 180000 - 90000) / 1000.0
 """
 
 
+def q_polygon_join(sf_dir: str):
+    """Geometry-true containment join (J1's real-geometry flavor): each
+    document's point probes the registry's diamond RINGS — grid candidates
+    from the ring bboxes, exact ray-casting verify (stages/spatial.py
+    PolygonStore).  The rings are built so that the containment predicate
+    is, in integer milli-units, 14|dxm| + 18|dym| ≤ 63 (even vs odd ⇒ no
+    boundary cases), which the DuckDB oracle evaluates exactly."""
+    from ..corpus import registry_from_documents
+    from ..stages.spatial import polygon_contains_join
+
+    docs = _read(sf_dir, "documents")
+
+    def to_points(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "x": ((b["doc_id"] * 37) % 180000 - 90000) / 1000.0,
+                "y": ((b["doc_id"] * 53) % 360000 - 180000) / 1000.0,
+            }
+        )
+
+    points = docs.map_batches(to_points, batch_format="pandas")
+    polys = registry_from_documents(docs.to_pandas())
+    out = polygon_contains_join(points, polys[["id", "ring_wkb"]])
+    return out.select_columns(["doc_id", "poly_id"])
+
+
+SQL_POLYGON_JOIN = """
+SELECT p.doc_id AS doc_id,
+       'https://pids.geoconnex.dev/' || b.source || '/' || CAST(b.doc_id AS VARCHAR) AS poly_id
+FROM documents p CROSS JOIN documents b
+WHERE 14*ABS(((p.doc_id*37) % 180000 - 90000) - ((b.doc_id*37) % 180000 - 90000) - 2)
+    + 18*ABS(((p.doc_id*53) % 360000 - 180000) - ((b.doc_id*53) % 360000 - 180000) - 1) <= 63
+"""
+
+
 def q_mm_metadata(sf_dir: str):
     """Multimodal metadata over the opaque binary payload column (the
     pages' html stands in for media bytes): byte length + sha256."""

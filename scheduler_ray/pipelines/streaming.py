@@ -22,24 +22,31 @@ A1/D4/D5/O4):
    canonical and the job is done: one pass total.
 3. Otherwise (cross-batch chains, or documents referencing another
    document's alias URI): every written file whose URI-hash sidecar
-   intersects the mapping keys is **fixed up** in place (read → rewrite →
-   dedup → sort → atomic replace).  Only affected files are touched.
+   intersects the mapping keys is **fixed up** — rewritten to a NEW
+   content-named file (read → rewrite → dedup → sort → put).  Only
+   affected files are touched.
 
 Correctness equals the two-pass path: step 3's probe set is the full
 global mapping, so any value a global rewrite would have changed is
 caught by the sidecar intersection (no false negatives; hash-prefix false
 positives only cost a redundant file rewrite).
+
+**Object-store readiness** (round-2 verdict items 4/7): every byte goes
+through the ``state/fs.py`` seam — ``LocalFS`` uses the POSIX tmp+rename
+fast path, ``NoRenameFS`` proves the writer needs no rename at all.  The
+run commits by putting ``_MANIFEST.json`` (the single small object naming
+the live files) LAST; fixed-up predecessors are deleted only after the
+commit, so a crash at any point leaves either the old committed state or
+the new one, never a torn mix.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray
 from ray.data import Dataset
@@ -52,6 +59,7 @@ from ..stages.canonicalize import (
     local_canonicalize_batch,
     local_exact_dedup,
 )
+from ..state.fs import LocalFS, write_commit_manifest
 
 MANIFEST_SCHEMA = pa.schema(
     [
@@ -66,13 +74,7 @@ PAIRS_DIR = "_pairs"
 SIDECAR_DIR = "_sidecars"
 
 
-def _atomic_write(tbl: pa.Table, path: str) -> None:
-    tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
-
-
-def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool) -> pa.Table:
+def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table:
     """The fused per-block stage: local canon → dedup → sort → write.
 
     Every per-row hash the stage needs (dedup key, content-derived file
@@ -118,22 +120,18 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool) -> pa.Table:
         # percent-encode the partition value (IRI preds contain '/');
         # read_graph decodes — same convention as Ray's write_parquet
         pdir = os.path.join(out_dir, f"pred={quote(p, safe='')}")
-        os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, f"part-{stem}.parquet")
-        _atomic_write(part, path)
+        fs.put_table(part, path)
         files.append(path)
         preds.append(p)
         rows.append(part.num_rows)
     if pairs.num_rows:
-        pdir = os.path.join(out_dir, PAIRS_DIR)
-        os.makedirs(pdir, exist_ok=True)
-        _atomic_write(pairs, os.path.join(pdir, f"pairs-{stem}.parquet"))
-    sdir = os.path.join(out_dir, SIDECAR_DIR)
-    os.makedirs(sdir, exist_ok=True)
-    tmp = os.path.join(sdir, f"{stem}.npy.tmp")
-    with open(tmp, "wb") as f:
-        np.save(f, distinct)
-    os.replace(tmp, os.path.join(sdir, f"{stem}.npy"))
+        fs.put_table(pairs, os.path.join(out_dir, PAIRS_DIR, f"pairs-{stem}.parquet"))
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, distinct)
+    fs.put_bytes(os.path.join(out_dir, SIDECAR_DIR, f"{stem}.npy"), buf.getvalue())
     return pa.table(
         {
             "file": pa.array(files, pa.large_string()),
@@ -144,13 +142,13 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool) -> pa.Table:
     )
 
 
-def _merge_pair_files_to_lut(pair_files: list[str], merge_fanout: int = 8):
+def _merge_pair_files_to_lut(pair_files: list[str], fs, merge_fanout: int = 8):
     """Tree-merge the per-block pair sidecars into the global rewrite LUT
     (all on workers; returns the ObjectRef of the LUT tuple)."""
 
     @ray.remote(num_cpus=1)
     def _read_merge(*paths: str) -> pa.Table:
-        return _merge_pair_tables([pq.read_table(p) for p in paths])
+        return _merge_pair_tables([fs.read_table(p) for p in paths])
 
     @ray.remote(num_cpus=1)
     def _merge(*tables: pa.Table) -> pa.Table:
@@ -176,11 +174,14 @@ def _merge_pair_files_to_lut(pair_files: list[str], merge_fanout: int = 8):
 
 
 @ray.remote(num_cpus=1)
-def _flag_sidecars(sidecar_paths: list[str], lut: tuple) -> list[bool]:
+def _flag_sidecars(sidecar_paths: list[str], lut: tuple, fs=None) -> list[bool]:
+    import io
+
+    fs = fs or LocalFS()
     _keys, _vals, kh_sorted, _bitmap, _uniq = lut
     out = []
     for p in sidecar_paths:
-        h = np.load(p)
+        h = np.load(io.BytesIO(fs.get_bytes(p)))
         if not len(h) or not len(kh_sorted):
             out.append(False)
             continue
@@ -189,11 +190,24 @@ def _flag_sidecars(sidecar_paths: list[str], lut: tuple) -> list[bool]:
     return out
 
 
+def _content_stem(tbl: pa.Table) -> str:
+    """Order-insensitive content-derived file stem (pred-less table)."""
+    h = np.uint64(tbl.num_rows)
+    for col in ("subj", "obj", "graph"):
+        hv = _hash_large_string(tbl[col])
+        h ^= np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
+    return f"{int(h):016x}"
+
+
 @ray.remote(num_cpus=1)
-def _fixup_file(path: str, lut: tuple, drop_sameas: bool) -> int:
-    """Rewrite one flagged file in place (read → global rewrite → dedup →
-    sort → atomic replace).  pred is constant per file (hive dir)."""
-    tbl = pq.read_table(path)
+def _fixup_file(path: str, lut: tuple, drop_sameas: bool, fs=None) -> tuple[str, int]:
+    """Rewrite one flagged file (read → global rewrite → dedup → sort) to
+    a NEW content-named file in the same hive dir — no in-place replace,
+    so object stores without rename commit via the manifest instead.
+    Returns (new_path, rows); the caller deletes the predecessor AFTER
+    the commit manifest is written."""
+    fs = fs or LocalFS()
+    tbl = fs.read_table(path)
     rw = CanonicalRewriter(lut, drop_sameas=False)  # pred column absent
     subj = rw._rewrite(tbl["subj"])
     lit = tbl["obj_is_literal"].combine_chunks()
@@ -213,66 +227,77 @@ def _fixup_file(path: str, lut: tuple, drop_sameas: bool) -> int:
         df = tbl.to_pandas().drop_duplicates(subset=["subj", "obj"], keep="first")
         tbl = pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
     tbl = tbl.sort_by([("subj", "ascending")])
-    _atomic_write(tbl, path)
-    return tbl.num_rows
+    new_path = os.path.join(os.path.dirname(path), f"part-{_content_stem(tbl)}.parquet")
+    fs.put_table(tbl, new_path)
+    return new_path, tbl.num_rows
 
 
 @ray.remote(num_cpus=1)
-def _compact_dir(pdir: str, target_bytes: int) -> int:
+def _compact_dir(pdir: str, target_bytes: int, fs=None) -> tuple[list[str], list[str]]:
     """Merge this hive partition dir's small files into ~target-size
     sorted files.  Only files below the target participate; large files
-    are left untouched.  Output files keep the deterministic
-    content-derived naming (idempotent under retry)."""
-    files = sorted(
-        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
-    )
-    small = [f for f in files if os.path.getsize(f) < target_bytes]
+    are left untouched.  New files first (deterministic content-derived
+    names), predecessors deleted after — returns (added, removed) so the
+    caller can re-commit the manifest."""
+    fs = fs or LocalFS()
+    files = fs.list(pdir, suffix=".parquet")
+    small = [f for f in files if fs.size(f) < target_bytes]
+    added: list[str] = []
+    removed: list[str] = []
     if len(small) < 2:
-        return 0
-    merged = 0
+        return added, removed
     group: list[str] = []
     size = 0
 
     def flush(group: list[str]) -> None:
-        nonlocal merged
         if len(group) < 2:
             return
-        tbl = pa.concat_tables([pq.read_table(g) for g in group])
+        tbl = pa.concat_tables([fs.read_table(g) for g in group])
         tbl = tbl.sort_by([("subj", "ascending")])  # pred constant per dir
-        h = np.uint64(tbl.num_rows)
-        for col in ("subj", "obj", "graph"):
-            hv = _hash_large_string(tbl[col])
-            h ^= np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
-        _atomic_write(tbl, os.path.join(pdir, f"part-{int(h):016x}.parquet"))
+        path = os.path.join(pdir, f"part-{_content_stem(tbl)}.parquet")
+        fs.put_table(tbl, path)
+        added.append(path)
         for g in group:
-            os.remove(g)
-        merged += len(group)
+            if g != path:
+                fs.delete(g)
+                removed.append(g)
 
     for f in small:
         group.append(f)
-        size += os.path.getsize(f)
+        size += fs.size(f)
         if size >= target_bytes:
             flush(group)
             group, size = [], 0
     flush(group)
-    return merged
+    return added, removed
 
 
-def compact_partitions(out_dir: str, *, target_mb: int = 128) -> dict:
+def compact_partitions(out_dir: str, *, target_mb: int = 128, fs=None) -> dict:
     """Post-write compaction sweep over the hive layout (one remote task
     per pred dir): the single-pass writer emits one file per (block,
     pred), so rare predicates produce many tiny files — the classic
     small-file problem at 100 TB.  Compaction merges sub-target files
     into ~target-size internally-sorted files; per-dir sort order and
-    hive semantics are preserved."""
+    hive semantics are preserved, and the commit manifest (when present)
+    is rewritten to the post-compaction file set."""
+    from ..state.fs import read_commit_manifest
+
+    fs = fs or LocalFS()
     target = target_mb * 1024 * 1024
     pdirs = [
         os.path.join(out_dir, d)
         for d in sorted(os.listdir(out_dir))
         if d.startswith("pred=") and os.path.isdir(os.path.join(out_dir, d))
     ]
-    merged = ray.get([_compact_dir.remote(d, target) for d in pdirs])
-    return {"dirs": len(pdirs), "files_merged": int(sum(merged))}
+    results = ray.get([_compact_dir.remote(d, target, fs) for d in pdirs])
+    added = [p for a, _r in results for p in a]
+    removed = {p for _a, r in results for p in r}
+    man = read_commit_manifest(fs, out_dir)
+    if man is not None:
+        live = {os.path.join(out_dir, f) for f in man["files"]}
+        live = (live - removed) | set(added)
+        write_commit_manifest(fs, out_dir, live, {k: v for k, v in man.items() if k != "files"})
+    return {"dirs": len(pdirs), "files_merged": int(sum(len(r) for _a, r in results))}
 
 
 def write_canonical_single_pass(
@@ -280,27 +305,33 @@ def write_canonical_single_pass(
     out_dir: str,
     *,
     drop_sameas: bool = True,
+    fs=None,
 ) -> dict:
     """Stream linked raw triples into a canonical hive-partitioned graph
     in ONE pass (+ a fixup touching only files that cross-batch sameAs
-    chains actually affect).  Returns a summary dict."""
+    chains actually affect).  ``fs`` selects the filesystem seam
+    (``LocalFS`` default; ``NoRenameFS`` for object-store semantics —
+    the commit manifest, written LAST, is the only atomicity the
+    protocol needs).  Returns a summary dict."""
+    fs = fs or LocalFS()
     os.makedirs(out_dir, exist_ok=True)
 
     def stage(tbl: pa.Table) -> pa.Table:
-        return _write_block(tbl, out_dir, drop_sameas)
+        return _write_block(tbl, out_dir, drop_sameas, fs)
 
     manifests = triples.map_batches(
         stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
 
-    pair_files = sorted(glob.glob(os.path.join(out_dir, PAIRS_DIR, "*.parquet")))
+    pair_files = fs.list(os.path.join(out_dir, PAIRS_DIR), suffix=".parquet")
     fixed = 0
+    replaced: list[str] = []
     if pair_files:
-        lut_ref = _merge_pair_files_to_lut(pair_files)
-        sidecars = sorted(glob.glob(os.path.join(out_dir, SIDECAR_DIR, "*.npy")))
+        lut_ref = _merge_pair_files_to_lut(pair_files, fs)
+        sidecars = fs.list(os.path.join(out_dir, SIDECAR_DIR), suffix=".npy")
         group = 32
         flag_refs = [
-            _flag_sidecars.remote(sidecars[i : i + group], lut_ref)
+            _flag_sidecars.remote(sidecars[i : i + group], lut_ref, fs)
             for i in range(0, len(sidecars), group)
         ]
         flags = [f for part in ray.get(flag_refs) for f in part]
@@ -308,16 +339,32 @@ def write_canonical_single_pass(
             os.path.basename(s)[: -len(".npy")] for s, f in zip(sidecars, flags) if f
         }
         if flagged_stems:
-            todo = manifests[manifests["stem"].isin(flagged_stems)]["file"]
+            todo = manifests.index[manifests["stem"].isin(flagged_stems)]
             fixed = len(todo)
-            ray.get(
-                [_fixup_file.remote(p, lut_ref, drop_sameas) for p in todo]
+            results = ray.get(
+                [
+                    _fixup_file.remote(manifests.loc[i, "file"], lut_ref, drop_sameas, fs)
+                    for i in todo
+                ]
             )
-    # sidecars are scratch; keep the output dir pure hive
-    import shutil
-
-    shutil.rmtree(os.path.join(out_dir, PAIRS_DIR), ignore_errors=True)
-    shutil.rmtree(os.path.join(out_dir, SIDECAR_DIR), ignore_errors=True)
+            for i, (new_path, rows) in zip(todo, results):
+                old = manifests.loc[i, "file"]
+                if new_path != old:
+                    replaced.append(old)
+                manifests.loc[i, "file"] = new_path
+                manifests.loc[i, "rows"] = rows
+    # COMMIT: one small object naming the live files; only then delete
+    # fixed-up predecessors and scratch sidecars
+    write_commit_manifest(
+        fs,
+        out_dir,
+        manifests["file"].tolist(),
+        {"rows": int(manifests["rows"].sum()) if len(manifests) else 0},
+    )
+    for old in replaced:
+        fs.delete(old)
+    fs.delete_prefix(os.path.join(out_dir, PAIRS_DIR))
+    fs.delete_prefix(os.path.join(out_dir, SIDECAR_DIR))
     return {
         "files": int(len(manifests)),
         "rows": int(manifests["rows"].sum()) if len(manifests) else 0,

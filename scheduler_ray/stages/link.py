@@ -52,8 +52,8 @@ LAT_PREDS = ("schema:latitude", "https://schema.org/latitude")
 LON_PREDS = ("schema:longitude", "https://schema.org/longitude")
 
 #: cache file name for the pickled registry index — versioned so older
-#: caches (without the spatial grid) are never reused
-INDEX_CACHE_NAME = "registry_index_v2.pkl"
+#: caches (without the polygon geometry) are never reused
+INDEX_CACHE_NAME = "registry_index_v3.pkl"
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -111,10 +111,19 @@ class RegistryIndex:
         # exclude the pruned stop-band), so counts come from the kept
         # postings, symmetrically with the query-side hit count.
         self.token_counts = np.bincount(self.flat, minlength=n).astype(np.int32)
-        # spatial grid over the registry bboxes (when present)
+        # spatial index over the registry geometries (when present):
+        # real polygon rings take precedence (grid candidates + exact
+        # ray-casting verify — the geometry-true J1, round-2 verdict item
+        # 6); bbox-only registries keep the grid-bbox behavior.
         self.spatial = None
         bbox_cols = {"bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"}
-        if bbox_cols <= set(registry.columns):
+        if "ring_wkb" in registry.columns:
+            from .spatial import GridPolygonIndex
+
+            self.spatial = GridPolygonIndex(
+                registry["id"].to_numpy(), registry["ring_wkb"]
+            )
+        elif bbox_cols <= set(registry.columns):
             from .spatial import GridBBoxIndex
 
             self.spatial = GridBBoxIndex(registry, id_col="id")

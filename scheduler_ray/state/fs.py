@@ -1,0 +1,122 @@
+"""Filesystem abstraction for the graph writers (round-2 verdict item 7/4).
+
+The single-pass writer, fixup and compaction previously assumed a shared
+POSIX filesystem with atomic ``os.replace`` — correct and fast on one
+node, but object stores (S3/GCS) have no rename.  This module gives the
+writers an fsspec-style seam plus a **commit-manifest protocol** so the
+same code is correct on both:
+
+* :class:`LocalFS` — the POSIX fast path: writes go to ``<path>.tmp``
+  and are published with one atomic rename.
+* :class:`NoRenameFS` — object-store semantics: a ``put`` is a single
+  all-or-nothing call and **rename does not exist** (the class has none;
+  tests run the full writer against it to prove nothing needs one).
+
+Atomicity then comes from the protocol, not the filesystem:
+
+1. data files carry deterministic content-hash names (a retried task
+   re-puts identical bytes under the identical key — idempotent);
+2. a fixup writes a NEW file (new content stem) instead of replacing in
+   place;
+3. the writer finishes by putting ``_MANIFEST.json`` — the single small
+   commit object listing exactly the live files.  Readers and resumers
+   trust the manifest; uncommitted garbage is invisible and reclaimable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+
+class LocalFS:
+    """POSIX filesystem with the tmp+rename atomic fast path."""
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def put_table(self, tbl, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    def get_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def read_table(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list(self, prefix: str, suffix: str = "") -> list[str]:
+        if not os.path.isdir(prefix):
+            return []
+        return sorted(
+            os.path.join(prefix, f)
+            for f in os.listdir(prefix)
+            if f.endswith(suffix) and not f.endswith(".tmp")
+        )
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_prefix(self, prefix: str) -> None:
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
+
+
+class NoRenameFS(LocalFS):
+    """Object-store semantics shim: single-call all-or-nothing puts,
+    NO rename anywhere (S3/GCS contract).  Backed by the local disk so
+    tests can read the result back, but ``os.replace`` is never used."""
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:  # one put, no tmp, no rename
+            f.write(data)
+
+    def put_table(self, tbl, path: str) -> None:
+        import io
+
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf)
+        self.put_bytes(path, buf.getvalue())
+
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def write_commit_manifest(fs, out_dir: str, files: Iterable[str], meta: dict | None = None) -> None:
+    """The commit point: one small object naming the live files (paths
+    relative to ``out_dir``)."""
+    rel = sorted({os.path.relpath(f, out_dir) for f in files})
+    payload = {"files": rel, **(meta or {})}
+    fs.put_bytes(os.path.join(out_dir, MANIFEST_NAME), json.dumps(payload).encode())
+
+
+def read_commit_manifest(fs, out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if not fs.exists(path):
+        return None
+    return json.loads(fs.get_bytes(path))

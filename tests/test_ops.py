@@ -385,3 +385,80 @@ def test_sniff_media_real_headers():
     batch = pa.table({"url": pa.array(["p"]), "html": pa.array([png], pa.binary())})
     out = MediaDecoder(mode="fake")(batch)
     assert out["width"][0].as_py() == 640 and out["height"][0].as_py() == 480
+
+
+def test_polygon_store_ray_casting_vs_bbox():
+    """Geometry-true containment (round-3): a point inside a ring's BBOX
+    but outside the diamond must be rejected — proving the join is
+    polygon-driven, not bbox-driven."""
+    from scheduler_ray.stages.spatial import PolygonStore, wkb_polygon, wkb_polygons
+
+    # diamond centered (0, 0), rx=2, ry=1
+    ring = np.array([[-2.0, 0.0], [0.0, 1.0], [2.0, 0.0], [0.0, -1.0], [-2.0, 0.0]])
+    store = PolygonStore([wkb_polygon(ring)])
+    xs = np.array([0.0, 1.9, 0.0, 1.5, -1.9, 0.0])
+    ys = np.array([0.0, 0.9, 0.99, 0.0, -0.5, -0.99])
+    pt = np.arange(6)
+    poly = np.zeros(6, np.int64)
+    got = store.contains_pairs(xs, ys, pt, poly)
+    # (1.9, 0.9) is inside the bbox [-2,2]x[-1,1] but OUTSIDE the diamond
+    assert list(got) == [True, False, True, True, False, True]
+    # vectorized wkb_polygons encodes the same bytes as wkb_polygon
+    vx = np.stack([ring[:, 0], ring[:, 0] + 5.0])
+    vy = np.stack([ring[:, 1], ring[:, 1]])
+    ws = wkb_polygons(vx, vy)
+    assert ws[0] == wkb_polygon(ring)
+
+
+def test_grid_polygon_index_golden_pairs():
+    """Golden containment pairs through the grid+ray-cast path, including
+    a bbox-candidate that the exact geometry rejects."""
+    from scheduler_ray.stages.spatial import GridPolygonIndex, wkb_polygon
+
+    d1 = np.array([[0.0, 5.0], [5.0, 10.0], [10.0, 5.0], [5.0, 0.0], [0.0, 5.0]])
+    d2 = d1 + 100.0
+    idx = GridPolygonIndex(np.array(["a", "b"]), [wkb_polygon(d1), wkb_polygon(d2)])
+    xs = np.array([5.0, 9.0, 105.0, 50.0])
+    ys = np.array([5.0, 9.0, 105.0, 50.0])
+    pts, polys = idx.query_pairs(xs, ys)
+    pairs = sorted(zip(pts.tolist(), idx.ids[polys].tolist()))
+    # (9,9) is in d1's bbox corner but outside the diamond
+    assert pairs == [(0, "a"), (2, "b")]
+
+
+def test_registry_rings_contain_own_feature_point():
+    """Every corpus registry ring contains its own feature's geo point
+    (the invariant the flagship J1 spatial join relies on)."""
+    from scheduler_ray.corpus import registry_from_documents
+    from scheduler_ray.stages.spatial import GridPolygonIndex
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40),
+            "text": ["t"] * 40,
+            "lang": ["en"] * 40,
+            "source": ["src0"] * 40,
+            "n_chars": [9] * 40,
+        }
+    )
+    reg = registry_from_documents(docs)
+    idx = GridPolygonIndex(np.arange(40), reg["ring_wkb"])
+    xs = ((docs["doc_id"] * 37) % 180000 - 90000).to_numpy() / 1000.0
+    ys = ((docs["doc_id"] * 53) % 360000 - 180000).to_numpy() / 1000.0
+    pts, polys = idx.query_pairs(xs, ys)
+    own = set(zip(pts.tolist(), polys.tolist()))
+    assert all((i, i) in own for i in range(40))
+
+
+def test_nearest_polyline_golden():
+    from scheduler_ray.stages.spatial import nearest_polyline
+
+    lines = [
+        np.array([[0.0, 0.0], [10.0, 0.0]]),          # horizontal segment
+        np.array([[0.0, 5.0], [5.0, 5.0], [5.0, 10.0]]),  # L-shape
+    ]
+    xs = np.array([3.0, 6.0, 4.0, 20.0])
+    ys = np.array([1.0, 9.0, 4.0, 0.0])
+    li, dist = nearest_polyline(xs, ys, lines)
+    assert list(li) == [0, 1, 1, 0]
+    assert np.allclose(dist, [1.0, 1.0, 1.0, 10.0])

@@ -179,3 +179,57 @@ def test_compaction_merges_small_files(fixture_sf0001, tmp_out):
             if f.endswith(".parquet"):
                 subjs = pq.read_table(os.path.join(root, f), columns=["subj"])["subj"].to_pylist()
                 assert subjs == sorted(subjs)
+
+
+def test_no_rename_fs_and_commit_manifest(tmp_out):
+    """Round-3 object-store readiness: the full single-pass writer (incl.
+    a forced cross-batch fixup) runs against the NoRenameFS shim — no
+    os.replace anywhere — and commits via _MANIFEST.json, which names
+    exactly the live parquet files."""
+    import json
+    import os
+
+    from scheduler_ray.state.fs import MANIFEST_NAME, NoRenameFS, read_commit_manifest
+
+    b1 = _tbl(
+        [
+            ("https://mirror.example/x/1", "owl:sameAs", "https://provider.example/x/1", False, "s"),
+            ("https://mirror.example/x/1", "schema:name", "Feature 1", True, "s"),
+        ]
+    )
+    b2 = _tbl(
+        [
+            ("https://provider.example/x/1", "owl:sameAs", PID, False, "s"),
+            ("https://provider.example/x/1", "rdf:type", "hyf:HY_HydroLocation", False, "s"),
+        ]
+    )
+    fs = NoRenameFS()
+    summary = write_canonical_single_pass(
+        rd.from_arrow([b1, b2]), tmp_out, drop_sameas=True, fs=fs
+    )
+    assert summary["fixed_files"] > 0  # the chain forced the fixup path
+    man = read_commit_manifest(fs, tmp_out)
+    assert man is not None and man["rows"] >= 2
+    on_disk = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_out)
+        for r, _d, files in os.walk(tmp_out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert sorted(man["files"]) == on_disk  # manifest == live file set
+    assert not any(f.endswith(".tmp") for f in on_disk)
+    got = _tripleset(flagship.read_graph(tmp_out).to_pandas())
+    assert (PID, "schema:name", "Feature 1", True, "s") in got
+    assert (PID, "rdf:type", "hyf:HY_HydroLocation", False, "s") in got
+    # compaction against the same shim keeps the manifest in sync
+    from scheduler_ray.pipelines.streaming import compact_partitions
+
+    compact_partitions(tmp_out, target_mb=64, fs=fs)
+    man2 = json.loads(open(os.path.join(tmp_out, MANIFEST_NAME), "rb").read())
+    on_disk2 = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_out)
+        for r, _d, files in os.walk(tmp_out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert sorted(man2["files"]) == on_disk2
