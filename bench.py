@@ -2,8 +2,10 @@
 
 Headline: the flagship KG pipeline (extract → expand → link → canonicalize
 → sorted partitioned parquet write) over an amplified synthetic page corpus
-derived from $GRAFT_SF_DIR/documents.parquet (default amplification 40× →
-~200k pages at sf0.1, with the same hot-domain skew as the 100-TB target).
+derived from $GRAFT_SF_DIR/documents.parquet (default amplification 640× →
+~3.2M pages at sf0.1, the representative regime — small amplifications are
+dominated by fixed per-execution costs; round-2 verdict item 10 — with the
+same hot-domain skew as the 100-TB target).
 
     python bench.py              # one timed run at $RAY_GRAFT_CPUS (default 32)
     python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
@@ -25,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "40"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "640"))
 #: pad each page's html to ~this many KB (0 = off) — the realistic
 #: Common-Crawl regime where extraction is byte-bound
 PAGE_KB = int(os.environ.get("GRAFT_PAGE_KB", "0"))

@@ -41,8 +41,10 @@ def test_release_nq_golden_format(fixture_sf0001, tmp_out):
     canon = flagship.run_flagship(fixture_sf0001).materialize()
     nq.write_release_graphs(canon, tmp_out, hyf_structural=True)
     graphs_dir = os.path.join(tmp_out, "graphs", "latest")
-    files = sorted(os.listdir(graphs_dir))
+    files = sorted(f for f in os.listdir(graphs_dir) if not f.endswith(".bytesum"))
     assert files and all(f.endswith("_release.nq.gz") for f in files)
+    # every release graph carries its .bytesum sidecar (pull contract)
+    assert all(os.path.exists(os.path.join(graphs_dir, f + ".bytesum")) for f in files)
 
     text = ""
     for f in files:
@@ -78,3 +80,69 @@ def test_release_nq_golden_format(fixture_sf0001, tmp_out):
     # typed + language-tagged literals appear in proper N-Quads syntax
     assert '"2026-01-17"^^<schema:Date>' in text or '"2026-01-17"^^<https://schema.org/Date>' in text
     assert re.search(r'"Fluss \d+"@de', text)
+
+
+def test_render_quads_vectorized_matches_scalar():
+    """The vectorized renderer must be byte-identical to triple_to_nq on
+    every literal flavor (typed, language-tagged incl. '@' in lex, plain
+    with escapes, IRIs containing '^^'-free CURIEs)."""
+    import pandas as pd
+
+    rows = [
+        ("https://a/1", "schema:name", 'he said "hi"\nand \\ left', True, "s"),
+        ("hyf:X", "rdf:type", "hyf:HY_HydroLocation", False, "s"),
+        ("https://a/1", "schema:dateCreated", "2026-01-17^^schema:Date", True, "s"),
+        ("https://a/1", "schema:alternateName", "Fluss 7@de", True, "s"),
+        ("https://a/1", "schema:note", "a@b@de-DE", True, "s"),
+        ("https://a/1", "schema:note", "user@example.com is not a lang", True, "s"),
+        ("https://a/1", "owl:sameAs", "https://b/2", False, "s"),
+        ("_:blank1", "rdf:first", "p", True, "s"),
+    ]
+    g = pd.DataFrame(rows, columns=["subj", "pred", "obj", "obj_is_literal", "graph"])
+    got = list(nq.render_quads(g, "<urn:graph:s>", hyf_structural=False))
+    want = [nq.triple_to_nq(s, p, o, lit, "s") for s, p, o, lit, _ in rows]
+    assert got == want
+    # structural re-expansion matches the scalar helper
+    g2 = pd.DataFrame(
+        [("https://pid/1", "hyf:linearElement", "https://ms/2", False, "s")],
+        columns=g.columns,
+    )
+    got2 = list(nq.render_quads(g2, "<urn:graph:s>", hyf_structural=True))
+    assert got2 == ["\n".join(nq._mainstem_structural_lines("https://pid/1", "https://ms/2", "<urn:graph:s>"))]
+
+
+def test_bytesum_sidecars_and_incremental_pull(fixture_sf0001, tmp_out):
+    """Reference pull contract (defs_test.py:86-98): every release graph
+    gets a .bytesum sidecar; a re-pull with unchanged content transfers
+    nothing (destination mtimes unchanged); a changed graph re-pulls."""
+    import time
+
+    canon = flagship.run_flagship(fixture_sf0001).materialize()
+    nq.write_release_graphs(canon, tmp_out)
+    graphs_dir = os.path.join(tmp_out, "graphs", "latest")
+    gz_files = [f for f in os.listdir(graphs_dir) if f.endswith(".nq.gz")]
+    assert gz_files
+    for f in gz_files:
+        assert os.path.exists(os.path.join(graphs_dir, f + ".bytesum"))
+
+    dest = os.path.join(tmp_out, "pulled")
+    first = nq.pull_release_graphs(graphs_dir, dest)
+    assert set(first["action"]) == {"pulled"}
+    mtimes = {f: os.path.getmtime(os.path.join(dest, f)) for f in first["file"]}
+    time.sleep(0.05)
+    second = nq.pull_release_graphs(graphs_dir, dest)
+    assert set(second["action"]) == {"skipped"}
+    assert all(os.path.getmtime(os.path.join(dest, f)) == mtimes[f] for f in second["file"])
+
+    # mutate one source's graph → only that file re-pulls
+    victim = sorted(gz_files)[0]
+    with open(os.path.join(graphs_dir, victim), "ab") as fh:
+        fh.write(nq._gzip_lines(["<urn:a> <urn:b> <urn:c> <urn:g> ."]))
+    with open(os.path.join(graphs_dir, victim), "rb") as fh:
+        new_sum = nq._bytesum(fh.read())
+    with open(os.path.join(graphs_dir, victim + ".bytesum"), "w") as fh:
+        fh.write(new_sum)
+    third = nq.pull_release_graphs(graphs_dir, dest)
+    actions = dict(zip(third["file"], third["action"]))
+    assert actions[victim] == "pulled"
+    assert all(a == "skipped" for f, a in actions.items() if f != victim)
