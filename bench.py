@@ -86,21 +86,25 @@ def run_bench() -> dict:
 
     # secondary per-stage timings (no write): extraction-only throughput
     # (also the no-engine bandwidth baseline for scaling analysis) and the
-    # raw extract→expand→link chain, so regressions are attributable
-    t0 = time.time()
-    from scheduler_ray.stages.extract import extract_stage
+    # raw extract→expand→link chain, so regressions are attributable.
+    # GRAFT_HEADLINE_ONLY=1 skips them (--scaling children: at 2 cpus the
+    # secondaries would triple each repeat's wall time)
+    n_pages = 0
+    if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
+        t0 = time.time()
+        from scheduler_ray.stages.extract import extract_stage
 
-    n_pages = extract_stage(flagship.read_pages(fx)).count()
-    queries["kg_extract"] = round(time.time() - t0, 3)
+        n_pages = extract_stage(flagship.read_pages(fx)).count()
+        queries["kg_extract"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    registry = f"{fx}/registry.parquet"
-    sources = flagship.load_sources_only(fx)
-    flagship.raw_triples(
-        flagship.read_pages(fx), registry, sources, cfg,
-        index_cache_path=f"{fx}/{INDEX_CACHE_NAME}",
-    ).count()
-    queries["kg_raw_triples"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        registry = f"{fx}/registry.parquet"
+        sources = flagship.load_sources_only(fx)
+        flagship.raw_triples(
+            flagship.read_pages(fx), registry, sources, cfg,
+            index_cache_path=f"{fx}/{INDEX_CACHE_NAME}",
+        ).count()
+        queries["kg_raw_triples"] = round(time.time() - t0, 3)
 
     ray.shutdown()
     return {
@@ -119,7 +123,7 @@ def run_bench() -> dict:
 
 
 def run_at(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,

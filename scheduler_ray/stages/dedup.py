@@ -152,9 +152,12 @@ def lsh_params(threshold: float, n_perm: int = 64, max_miss: float = 1e-6) -> tu
     return best
 
 
-#: signature-estimate pre-filter margin below the verify threshold.  With
-#: 64 permutations, P(estimate < t-0.3 | true Jaccard ≥ t) ≤ e^(-64·KL) ≈
-#: 6e-7 at t=0.8 (Chernoff), so the pre-filter cannot realistically drop a
+#: sketch-estimate pre-filter margin below the verify threshold.  Each
+#: bucket row carries an 8-component sketch, so a single-band estimate of a
+#: true (j ≥ t) pair falls below t-0.3 with probability ~1e-2 — but a true
+#: pair fires in ~bands·j² buckets whose sketches sample DIFFERENT
+#: components, so the chance it is pruned from every firing bucket is
+#: ~(1e-2)^(bands·j²) ≪ 1e-9.  The pre-filter cannot realistically drop a
 #: true pair before exact verification.
 _EST_MARGIN = 0.3
 
@@ -176,13 +179,19 @@ def minhash_lsh_pairs(
 
     1. **Candidate generation** — shingle→minhash per batch (stateless
        tasks, coefficients rebuilt from the fixed seed — cheaper than
-       shipping state), explode to ``(band, band_hash, doc_id, sig)`` rows
-       where ``sig`` is the fixed ``n_perm×8``-byte signature (512 B at 64
-       perms — bounded, unlike text).  ``groupby(band, band_hash)``
-       buckets; within a bucket the *signature-estimate* Jaccard (fraction
-       of matching components) prunes pairs below ``threshold - 0.3`` so
-       hot boilerplate buckets don't flood the verify phase.  Candidate
-       pairs globally deduped.
+       shipping state), explode to ``(band, band_hash, doc_id, sketch)``
+       rows where ``sketch`` is ONE uint64: the low bytes of 8 signature
+       components at a band-dependent offset.  Every exploded column is a
+       fixed-width scalar, so the shuffle moves ~30 B/row regardless of
+       document size or permutation count.  ``groupby(band, band_hash)``
+       buckets; within a bucket the *sketch-estimate* Jaccard (fraction
+       of matching sketch bytes; per-component low-byte collisions inflate
+       it by ≤ 1/256) prunes pairs below ``threshold - 0.3`` so hot
+       boilerplate buckets don't flood the verify phase.  Sketches at
+       different bands sample different components, so estimate failures
+       are ~independent across the ~``bands·j²`` bands a true pair fires
+       in — the chance a true pair is pruned from every firing bucket is
+       negligible (≪ 1e-9).  Candidate pairs globally deduped.
     2. **Exact verification** — the candidate pair set (pairs ≪ corpus —
        the documented partitioning assumption) is pulled to the driver,
        its doc_id set broadcast via ``ray.put``, and a second streaming
@@ -210,8 +219,7 @@ def minhash_lsh_pairs(
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher(n_perm=n_perm, k=k, mode=mode)
         sig = mh.signatures(batch["text"])
-        # one bytes object per doc (n_perm × 8 B), shared across band rows
-        sig_bytes = np.array([row.tobytes() for row in sig], dtype=object)
+        low = (sig & np.uint64(0xFF)).astype(np.uint64)  # low byte per perm
         out = []
         for b in range(bands):
             band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -220,13 +228,18 @@ def minhash_lsh_pairs(
             bh = np.full(len(band), np.uint64(b) + np.uint64(0xCBF29CE484222325))
             for j in range(rows_per_band):
                 bh = bh * np.uint64(1099511628211) ^ band[:, j]
+            # 8-byte sketch: low bytes of 8 components at a band-dependent
+            # offset (different bands sample different components)
+            sk = np.zeros(len(band), np.uint64)
+            for j in range(8):
+                sk |= low[:, (b * rows_per_band + j) % n_perm] << np.uint64(8 * j)
             out.append(
                 pd.DataFrame(
                     {
                         "band": np.int32(b),
                         "band_hash": bh,
                         "doc_id": batch["doc_id"].to_numpy(),
-                        "sig": sig_bytes,
+                        "sketch": sk,
                     }
                 )
             )
@@ -245,14 +258,17 @@ def minhash_lsh_pairs(
         if len(g) < 2:
             return empty_pairs
         ids = g["doc_id"].to_numpy()
-        S = np.stack([np.frombuffer(b, np.uint64) for b in g["sig"]])
+        S = g["sketch"].to_numpy(np.uint64)
         ia, ib = np.triu_indices(len(ids), 1)
         outs = []
         # chunk the pair axis so hot buckets stay memory-bounded
         for lo in range(0, len(ia), 1 << 20):
             sa, sb = ia[lo : lo + (1 << 20)], ib[lo : lo + (1 << 20)]
-            est = (S[sa] == S[sb]).mean(axis=1)
-            ok = est >= est_threshold
+            x = S[sa] ^ S[sb]
+            eq = np.zeros(len(x), np.int64)
+            for j in range(8):
+                eq += ((x >> np.uint64(8 * j)) & np.uint64(0xFF)) == 0
+            ok = eq / 8.0 >= est_threshold
             if ok.any():
                 outs.append(pd.DataFrame({"doc_a": ids[sa[ok]], "doc_b": ids[sb[ok]]}))
         if not outs:
