@@ -95,6 +95,18 @@ def brute_force_topk(
     return partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, np.uint64)
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+
+
+def _sketch64(m: np.ndarray, planes64: np.ndarray) -> np.ndarray:
+    """64-plane sign sketch packed into one uint64 per row."""
+    bits = (m @ planes64.T) > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
 def near_duplicates_embedding(
     embeddings: Dataset,
     threshold: float = 0.95,
@@ -105,10 +117,22 @@ def near_duplicates_embedding(
 ) -> Dataset:
     """All pairs (a < b) with cosine ≥ threshold, LSH-bucketed.
 
-    Scale shape mirrors ``dedup.minhash_lsh_pairs``: per-batch signature
-    explode → ``groupby(table, sig)`` (high-cardinality keys) → all-pairs
-    cosine verify *within a bucket only* → global pair dedup.  No driver
-    materialization, no corpus broadcast (round-1 verdict item 3).
+    Two-phase, vector-free shuffle (round-2 verdict item 5 — the old
+    explode shipped the embedding column ×n_tables through the
+    all-to-all):
+
+    1. **Candidates** — per-batch explode to ``(table, sig, vec_id,
+       sketch)`` where ``sketch`` is one uint64 of 64 per-table random
+       hyperplane signs (fixed 28 B/row, never the vector).  In a bucket,
+       the sketch hamming distance estimates the angle
+       (cos ≈ cos(π·ham/64)); pairs with estimated cosine below
+       ``threshold - 0.15`` are pruned.  Each table uses DIFFERENT sketch
+       planes, so estimate failures are independent across the tables a
+       true pair collides in (miss ≲ (3e-3)^tables ≈ 1e-10).
+    2. **Verify** — candidate pairs (≪ corpus) are pulled to the driver,
+       their vec_id set broadcast, and a second pass fetches vectors for
+       candidate ids ONLY; ``groupby(pair_id)`` co-locates each pair for
+       the exact cosine test.
 
     Recall: identical/near-identical vectors (θ≈0) share every signature
     — found with probability 1 (what the planted-duplicate oracle
@@ -116,10 +140,18 @@ def near_duplicates_embedding(
     the 4×8-bit tables with p ≈ 0.89; raise ``n_tables`` for a tighter
     tail at scale.
     """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    est_cos = max(threshold - 0.15, 0.0)
+    max_ham = int(math.floor(64 * math.acos(est_cos) / math.pi))
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         m = _embedding_matrix(b)
         planes = hyperplanes(m.shape[1], n_planes, n_tables, seed)
+        sk_planes = hyperplanes(m.shape[1], 64, n_tables, seed + 1000)
         frames = []
         for t in range(n_tables):
             frames.append(
@@ -128,7 +160,7 @@ def near_duplicates_embedding(
                         "table": np.int32(t),
                         "sig": _sig_keys(m, planes[t]),
                         "vec_id": b["vec_id"].to_numpy(),
-                        "embedding": b["embedding"].to_numpy(),
+                        "sketch": _sketch64(m, sk_planes[t]),
                     }
                 )
             )
@@ -136,24 +168,78 @@ def near_duplicates_embedding(
 
     exploded = embeddings.map_batches(explode, batch_format="pandas")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    empty_pairs = pd.DataFrame(
+        {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+    )
+
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
-        m = _normalize(_embedding_matrix(g))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(g), 1)
-        ok = sims[ia, ib] >= threshold
+            return empty_pairs
         ids = g["vec_id"].to_numpy()
-        return pd.DataFrame({"vec_a": ids[ia[ok]], "vec_b": ids[ib[ok]]}).astype(
-            "int64"
-        )
+        sk = g["sketch"].to_numpy(np.uint64)
+        ia, ib = np.triu_indices(len(ids), 1)
+        outs = []
+        for lo in range(0, len(ia), 1 << 20):
+            sa, sb = ia[lo : lo + (1 << 20)], ib[lo : lo + (1 << 20)]
+            ham = _popcount64(sk[sa] ^ sk[sb])
+            ok = ham <= max_ham
+            if ok.any():
+                outs.append(pd.DataFrame({"vec_a": ids[sa[ok]], "vec_b": ids[sb[ok]]}))
+        if not outs:
+            return empty_pairs
+        return pd.concat(outs, ignore_index=True).astype("int64")
 
-    pairs = exploded.groupby(["table", "sig"]).map_groups(verify, batch_format="pandas")
-    return (
-        pairs.groupby(["vec_a", "vec_b"])
+    cand = (
+        exploded.groupby(["table", "sig"])
+        .map_groups(bucket_candidates, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="n_tables"))
         .select_columns(["vec_a", "vec_b"])
+    )
+
+    pairs_df = cand.to_pandas()  # pairs ≪ corpus (documented assumption)
+    if pairs_df.empty:
+        return rd.from_pandas(empty_pairs)
+    pairs_df = pairs_df.reset_index(drop=True)
+    members = pd.DataFrame(
+        {
+            "pair_id": np.concatenate([pairs_df.index.to_numpy()] * 2),
+            "vec_id": np.concatenate(
+                [pairs_df["vec_a"].to_numpy(), pairs_df["vec_b"].to_numpy()]
+            ),
+        }
+    )
+    members_ref = ray.put(members)
+    cand_ids_ref = ray.put(np.unique(members["vec_id"].to_numpy()))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(cand_ids_ref)
+        b = batch[batch["vec_id"].isin(ids)][["vec_id", "embedding"]]
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "pair_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype="object"),
+                }
+            )
+        return b.merge(ray.get(members_ref), on="vec_id")[["pair_id", "vec_id", "embedding"]]
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) != 2:
+            return empty_pairs
+        m = _normalize(_embedding_matrix(g))
+        if float(m[0] @ m[1]) >= threshold:
+            ids = g["vec_id"].to_numpy()
+            return pd.DataFrame({"vec_a": [int(ids[0])], "vec_b": [int(ids[1])]})
+        return empty_pairs
+
+    return (
+        embeddings.map_batches(attach, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(verify_pair, batch_format="pandas")
     )
 
 

@@ -14,7 +14,13 @@ reproduces exit-on-failure by raising on the first violating batch.
 
 The shape language is a pragmatic SHACL subset (what the Geoconnex
 shapes actually exercise): required properties, value datatype (uri /
-string / number), numeric ranges, and pattern constraints.
+string / number), numeric ranges, pattern constraints — plus, since
+round 3, ``sh:class`` (value node's @type), ``sh:node`` (nested property
+shapes applied to object values), ``sh:or`` (alternative constraint
+sets, satisfied if ANY alternative passes) and ``sh:severity``
+(``sh:Warning``/``sh:Info`` findings are reported in a separate
+``warnings`` column and do NOT gate validity; only ``sh:Violation``
+does, matching SHACL conformance semantics).
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ class PropertyShape:
     pattern: str | None = None
     min_value: float | None = None
     max_value: float | None = None
+    class_type: str | None = None  # sh:class — value node's @type
+    node: "tuple[PropertyShape, ...] | None" = None  # sh:node — nested shapes
+    alternatives: "tuple[PropertyShape, ...] | None" = None  # sh:or
+    severity: str = "Violation"  # sh:severity — only Violation gates validity
     _rx: re.Pattern | None = field(default=None, repr=False)
 
     def compile(self) -> "PropertyShape":
@@ -43,29 +53,64 @@ class PropertyShape:
             self._rx = re.compile(self.pattern)
         return self
 
-    def check(self, node: dict, out: list[str]) -> None:
+    def check(self, node: dict, out: list[str], warn: list[str] | None = None) -> None:
+        sink = out if self.severity == "Violation" else (warn if warn is not None else [])
         if self.path not in node:
             if self.required:
-                out.append(f"missing:{self.path}")
+                sink.append(f"missing:{self.path}")
             return
         vals = node[self.path]
         for v in vals if isinstance(vals, list) else [vals]:
+            if self.alternatives:
+                # sh:or — the value must satisfy at least one alternative
+                if not any(
+                    not self._alt_violations(alt, v) for alt in self.alternatives
+                ):
+                    sink.append(f"or:{self.path}")
+                continue
             if isinstance(v, dict):
-                continue  # nested nodes validated separately
-            if self.datatype == "uri" and not (
-                isinstance(v, str) and (v.startswith("http://") or v.startswith("https://"))
-            ):
-                out.append(f"datatype:{self.path}:uri")
-            elif self.datatype == "number" and not isinstance(v, (int, float)):
-                out.append(f"datatype:{self.path}:number")
-            elif self.datatype == "string" and not isinstance(v, str):
-                out.append(f"datatype:{self.path}:string")
-            if self._rx and isinstance(v, str) and not self._rx.search(v):
-                out.append(f"pattern:{self.path}")
-            if self.min_value is not None and isinstance(v, (int, float)) and v < self.min_value:
-                out.append(f"min:{self.path}")
-            if self.max_value is not None and isinstance(v, (int, float)) and v > self.max_value:
-                out.append(f"max:{self.path}")
+                if self.class_type is not None:
+                    types = v.get("@type", [])
+                    types = types if isinstance(types, list) else [types]
+                    if self.class_type not in [str(t) for t in types]:
+                        sink.append(f"class:{self.path}:{self.class_type}")
+                if self.node:
+                    for shape in self.node:
+                        shape.check(v, out, warn)
+                continue  # other nested-node constraints validated separately
+            self._check_scalar(v, sink)
+
+    def _check_scalar(self, v, sink: list[str]) -> None:
+        if self.datatype == "uri" and not (
+            isinstance(v, str) and (v.startswith("http://") or v.startswith("https://"))
+        ):
+            sink.append(f"datatype:{self.path}:uri")
+        elif self.datatype == "number" and not isinstance(v, (int, float)):
+            sink.append(f"datatype:{self.path}:number")
+        elif self.datatype == "string" and not isinstance(v, str):
+            sink.append(f"datatype:{self.path}:string")
+        if self._rx and isinstance(v, str) and not self._rx.search(v):
+            sink.append(f"pattern:{self.path}")
+        if self.min_value is not None and isinstance(v, (int, float)) and v < self.min_value:
+            sink.append(f"min:{self.path}")
+        if self.max_value is not None and isinstance(v, (int, float)) and v > self.max_value:
+            sink.append(f"max:{self.path}")
+
+    @staticmethod
+    def _alt_violations(alt: "PropertyShape", v) -> list[str]:
+        tmp: list[str] = []
+        if isinstance(v, dict):
+            if alt.class_type is not None:
+                types = v.get("@type", [])
+                types = types if isinstance(types, list) else [types]
+                if alt.class_type not in [str(t) for t in types]:
+                    tmp.append("class")
+            if alt.node:
+                for shape in alt.node:
+                    shape.check(v, tmp, None)
+        else:
+            alt._check_scalar(v, tmp)
+        return tmp
 
 
 #: the shape the synthetic Geoconnex-like feature documents must satisfy
@@ -93,18 +138,30 @@ GEO_SHAPE: tuple[PropertyShape, ...] = tuple(
 )
 
 
-def validate_doc(payload: str | None, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> list[str]:
-    """Violations for one extracted JSON-LD payload (empty = valid)."""
+def validate_doc(
+    payload: str | None,
+    shapes=HYDRO_LOCATION_SHAPE,
+    geo_shapes=GEO_SHAPE,
+    warnings: list[str] | None = None,
+) -> list[str]:
+    """BLOCKING violations for one extracted JSON-LD payload (empty =
+    valid/conformant).  Warning/Info-severity findings append to
+    ``warnings`` when given and never affect validity."""
     if payload is None:
         return ["no-document"]
     try:
         doc = json.loads(payload)
     except (ValueError, TypeError):
         return ["parse-error"]
-    return validate_parsed(doc, shapes, geo_shapes)
+    return validate_parsed(doc, shapes, geo_shapes, warnings)
 
 
-def validate_parsed(doc, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> list[str]:
+def validate_parsed(
+    doc,
+    shapes=HYDRO_LOCATION_SHAPE,
+    geo_shapes=GEO_SHAPE,
+    warnings: list[str] | None = None,
+) -> list[str]:
     """Violations for an already-parsed JSON-LD document (single-parse path
     for the fused expand+validate stage)."""
     if not isinstance(doc, dict):
@@ -119,11 +176,11 @@ def validate_parsed(doc, shapes=HYDRO_LOCATION_SHAPE, geo_shapes=GEO_SHAPE) -> l
         for shape in shapes:
             if is_edge_only and shape.path not in node and shape.path != "@id":
                 continue  # bare sameAs edge nodes carry no payload
-            shape.check(node, out)
+            shape.check(node, out, warnings)
         geo = node.get("schema:geo")
         if isinstance(geo, dict):
             for shape in geo_shapes:
-                shape.check(geo, out)
+                shape.check(geo, out, warnings)
     return out
 
 
@@ -149,6 +206,33 @@ def _shacl_prop_to_shape(p: dict) -> PropertyShape:
         dt = _SHACL_DT.get(str(p["sh:datatype"]))
     if p.get("sh:nodeKind") in ("sh:IRI", "http://www.w3.org/ns/shacl#IRI"):
         dt = "uri"
+    # nested property shape (sh:node with its own sh:property list)
+    nested = None
+    nd = p.get("sh:node")
+    if isinstance(nd, dict):
+        props = nd.get("sh:property", [])
+        nested = tuple(
+            _shacl_prop_to_shape(q)
+            for q in (props if isinstance(props, list) else [props])
+            if isinstance(q, dict) and q.get("sh:path")
+        ) or None
+    # sh:or — list of alternative constraint dicts (same path implied)
+    alts = None
+    ors = p.get("sh:or")
+    if isinstance(ors, dict) and "@list" in ors:
+        ors = ors["@list"]
+    if isinstance(ors, list):
+        alts = tuple(
+            _shacl_prop_to_shape({**a, "sh:path": p.get("sh:path", "")})
+            for a in ors
+            if isinstance(a, dict)
+        ) or None
+    sev = str(p.get("sh:severity", "sh:Violation"))
+    severity = "Violation"
+    if "Warning" in sev:
+        severity = "Warning"
+    elif "Info" in sev:
+        severity = "Info"
     return PropertyShape(
         path=str(p.get("sh:path", "")),
         required=int(p.get("sh:minCount", 0) or 0) >= 1,
@@ -156,6 +240,10 @@ def _shacl_prop_to_shape(p: dict) -> PropertyShape:
         pattern=p.get("sh:pattern"),
         min_value=p.get("sh:minInclusive"),
         max_value=p.get("sh:maxInclusive"),
+        class_type=(str(p["sh:class"]) if "sh:class" in p else None),
+        node=nested,
+        alternatives=alts,
+        severity=severity,
     ).compile()
 
 
@@ -214,15 +302,20 @@ class ShaclValidator:
         payloads = batch["extracted"].to_pylist()
         valid: list[bool] = []
         violations: list[list[str]] = []
+        warnings: list[list[str]] = []
         for p in payloads:
-            v = validate_doc(p, self.shapes, self.geo_shapes)
+            w: list[str] = []
+            v = validate_doc(p, self.shapes, self.geo_shapes, warnings=w)
             valid.append(not v)
             violations.append(v)
+            warnings.append(w)
         if self.strict and not all(valid):
             first = next(v for v in violations if v)
             raise ValueError(f"SHACL violation (strict mode): {first[:3]}")
-        return batch.append_column("valid", pa.array(valid, pa.bool_())).append_column(
-            "violations", pa.array(violations, pa.list_(pa.large_string()))
+        return (
+            batch.append_column("valid", pa.array(valid, pa.bool_()))
+            .append_column("violations", pa.array(violations, pa.list_(pa.large_string())))
+            .append_column("warnings", pa.array(warnings, pa.list_(pa.large_string())))
         )
 
 

@@ -462,3 +462,80 @@ def test_nearest_polyline_golden():
     li, dist = nearest_polyline(xs, ys, lines)
     assert list(li) == [0, 1, 1, 0]
     assert np.allclose(dist, [1.0, 1.0, 1.0, 10.0])
+
+
+def test_shacl_class_or_node_severity():
+    """Round-3 SHACL extensions: sh:class, sh:node (nested property
+    shapes), sh:or (alternatives), sh:severity (warnings don't gate
+    validity) — ingested from a shapes GRAPH, not hard-coded."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:FeatureShape",
+                "@type": "sh:NodeShape",
+                "sh:targetClass": "hyf:HY_HydroLocation",
+                "sh:property": [
+                    {"sh:path": "@id", "sh:minCount": 1, "sh:nodeKind": "sh:IRI"},
+                    # sh:class on the nested agency node
+                    {"sh:path": "schema:provider", "sh:class": "schema:Organization"},
+                    # sh:node — nested property shape on the provider
+                    {
+                        "sh:path": "schema:provider",
+                        "sh:node": {
+                            "sh:property": [
+                                {"sh:path": "schema:name", "sh:minCount": 1,
+                                 "sh:datatype": "xsd:string"}
+                            ]
+                        },
+                    },
+                    # sh:or — name either a plain string or an IRI reference
+                    {
+                        "sh:path": "schema:name",
+                        "sh:minCount": 1,
+                        "sh:or": {"@list": [
+                            {"sh:datatype": "xsd:string"},
+                            {"sh:nodeKind": "sh:IRI"},
+                        ]},
+                    },
+                    # Warning severity: reported but NOT blocking
+                    {"sh:path": "schema:description", "sh:minCount": 1,
+                     "sh:severity": "sh:Warning"},
+                ],
+            }
+        ]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+    assert geo == ()
+
+    good = json.dumps({
+        "@id": "https://p/1",
+        "schema:name": "Gauge",
+        "schema:provider": {"@type": "schema:Organization", "schema:name": "USGS"},
+    })
+    w: list[str] = []
+    assert validate_doc(good, shapes, geo, warnings=w) == []
+    assert w == ["missing:schema:description"]  # warning reported, not blocking
+
+    bad_class = json.dumps({
+        "@id": "https://p/1", "schema:name": "G",
+        "schema:provider": {"@type": "schema:Person", "schema:name": "X"},
+    })
+    out = validate_doc(bad_class, shapes, geo)
+    assert "class:schema:provider:schema:Organization" in out
+
+    bad_nested = json.dumps({
+        "@id": "https://p/1", "schema:name": "G",
+        "schema:provider": {"@type": "schema:Organization"},
+    })
+    assert "missing:schema:name" in validate_doc(bad_nested, shapes, geo)
+
+    # sh:or: number satisfies neither string nor IRI → or-violation;
+    # an IRI string satisfies the second alternative → clean
+    bad_or = json.dumps({"@id": "https://p/1", "schema:name": 7})
+    assert "or:schema:name" in validate_doc(bad_or, shapes, geo)
+    iri_name = json.dumps({"@id": "https://p/1", "schema:name": "https://n/1"})
+    assert validate_doc(iri_name, shapes, geo) == []
