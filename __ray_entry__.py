@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity / embeddings
         "ann_topk": q.q_ann_topk,
         "ann_lsh": q.q_ann_lsh,
+        "ann_ivf": q.q_ann_ivf,
         "embed_neardup": q.q_embed_neardup,
         "embed_neardup_groups": q.q_embed_neardup_groups,
         "curation_pipeline": q.q_curation_pipeline,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": q.SQL_TEXT_FINGERPRINT,
         "ann_topk": q.SQL_ANN_TOPK,
         "ann_lsh": q.sql_ann_lsh(),
+        "ann_ivf": q.SQL_ANN_IVF,
         "embed_neardup": q.SQL_EMBED_NEARDUP,
         "embed_neardup_groups": q.SQL_EMBED_NEARDUP_GROUPS,
         "curation_pipeline": q.SQL_CURATION_PIPELINE,

@@ -592,6 +592,70 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+#: ann_ivf parameters — shared between the Ray pipeline and the SQL oracle
+ANN_IVF = {"n_centroids": 16, "nprobe": 4, "k": 10}
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN top-k (queries vec_id<5): deterministic coarse
+    quantizer (centroids = vectors vec_id<16), inverted-list probing of
+    the 4 nearest centroids per query, exact cosine rank within the
+    probed lists.  The scale path the SURVEY brief names alongside the
+    LSH variant; fully SQL-reproducible."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _query_vectors(emb, 5)
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = sim.ivf_ann_topk(
+        emb,
+        queries,
+        qdf["vec_id"].to_numpy(),
+        k=ANN_IVF["k"],
+        n_centroids=ANN_IVF["n_centroids"],
+        nprobe=ANN_IVF["nprobe"],
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {ANN_IVF["n_centroids"]}
+),
+assign AS (
+  SELECT e.vec_id, c.cid
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+               c.cid
+  ) = 1
+),
+qprobe AS (
+  SELECT q.vec_id AS query_id, c.cid
+  FROM embeddings q CROSS JOIN cents c
+  WHERE q.vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+               c.cid
+  ) <= {ANN_IVF["nprobe"]}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM qprobe p JOIN assign a ON a.cid = p.cid
+)
+SELECT c.query_id, c.vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS score
+FROM cand c
+JOIN embeddings q ON q.vec_id = c.query_id
+JOIN embeddings e ON e.vec_id = c.vec_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY c.query_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+             c.vec_id
+) <= {ANN_IVF["k"]}
+"""
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicates (≥0.95) with planted exact copies
     (vec_id%5==0 re-emitted at vec_id+PLANT_OFFSET): cosine 1.0 exactly,

@@ -307,6 +307,111 @@ def lsh_ann_topk(
     return out
 
 
+def ivf_centroids(embeddings: Dataset, n_centroids: int) -> np.ndarray:
+    """Deterministic IVF "training": the centroids are the (normalized)
+    vectors with ``vec_id < n_centroids`` — reproducible without an
+    iterative k-means pass, so the DuckDB oracle can recompute the same
+    coarse quantizer with a self-join.  (At scale you'd k-means a sample;
+    the assignment/probe machinery below is identical either way.)"""
+    cdf = (
+        embeddings.map_batches(
+            lambda b: b[b["vec_id"] < n_centroids], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return _normalize(_embedding_matrix(cdf))
+
+
+def ivf_assign(embeddings: Dataset, n_centroids: int = 16) -> Dataset:
+    """Coarse-quantizer assignment: every vector → its max-cosine centroid
+    (ties → smaller centroid id, matching the SQL ORDER BY).  Streaming
+    ``map_batches`` against the broadcast centroid matrix."""
+    import ray
+
+    cref = ray.put(ivf_centroids(embeddings, n_centroids))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cref)
+        sims = _normalize(_embedding_matrix(b)) @ cm.T
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(), "centroid": sims.argmax(axis=1).astype(np.int64)}
+        )
+
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
+def ivf_ann_topk(
+    embeddings: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """IVF approximate top-k: score ONLY corpus vectors assigned to one of
+    each query's ``nprobe`` nearest centroids (inverted-list pruning).
+
+    The corpus streams; per batch the work is one assignment matmul + a
+    masked cosine against in-probe rows; only partial top-ks reach the
+    driver.  Fully deterministic → the SQL oracle reproduces the exact
+    candidate sets and ranking.
+    """
+    import ray
+
+    cm = ivf_centroids(embeddings, n_centroids)
+    qn = _normalize(np.asarray(queries, np.float64))
+    qsims = qn @ cm.T  # (nq, C)
+    # top-nprobe centroids per query: score desc, centroid id asc
+    order = np.lexsort((np.broadcast_to(np.arange(cm.shape[0]), qsims.shape), -qsims))
+    probe = order[:, :nprobe]  # (nq, nprobe)
+    probe_mask = np.zeros((qn.shape[0], cm.shape[0]), bool)
+    for qi in range(qn.shape[0]):
+        probe_mask[qi, probe[qi]] = True
+    ref = ray.put((qn, cm, probe_mask))
+
+    def probe_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        qn_, cm_, pmask = ray.get(ref)
+        m = _normalize(_embedding_matrix(batch))
+        cid = (m @ cm_.T).argmax(axis=1)
+        ids = batch["vec_id"].to_numpy()
+        cand = pmask[:, cid]  # (nq, n_batch)
+        if not cand.any():
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        sims = qn_ @ m.T
+        out = []
+        for qi in range(qn_.shape[0]):
+            ci = np.flatnonzero(cand[qi])
+            if not len(ci):
+                continue
+            top = ci[np.argsort(-sims[qi, ci], kind="stable")[:k]]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": np.int64(qi), "vec_id": ids[top], "score": sims[qi, top]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = embeddings.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["query_id"] = np.asarray(query_ids)[out["query_id"].to_numpy(np.int64)]
+    return out
+
+
 def build_lsh_layout(
     embeddings: Dataset,
     out_dir: str,

@@ -539,3 +539,26 @@ def test_shacl_class_or_node_severity():
     assert "or:schema:name" in validate_doc(bad_or, shapes, geo)
     iri_name = json.dumps({"@id": "https://p/1", "schema:name": "https://n/1"})
     assert validate_doc(iri_name, shapes, geo) == []
+
+
+def test_ivf_ann_assignment_and_recall():
+    """IVF: every vector lands in exactly one centroid list; probing all
+    centroids reproduces brute force; nprobe<k trades recall for pruning."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    emb = rd.from_pandas(pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)}))
+    assign = sim.ivf_assign(emb, n_centroids=8).to_pandas()
+    assert len(assign) == 200 and assign["vec_id"].is_unique
+    assert set(assign["centroid"]) <= set(range(8))
+    # a centroid vector is assigned to itself (cosine 1.0 to itself)
+    own = assign.set_index("vec_id").loc[range(8), "centroid"]
+    assert list(own) == list(range(8))
+    # full probe == brute force
+    full = sim.ivf_ann_topk(emb, vecs[:2], np.arange(2), k=5, n_centroids=8, nprobe=8)
+    brute = sim.brute_force_topk(emb, vecs[:2], k=5)
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    # partial probe still finds the query itself at rank 1
+    part = sim.ivf_ann_topk(emb, vecs[:2], np.arange(2), k=5, n_centroids=8, nprobe=2)
+    for qi in range(2):
+        sub = part[part["query_id"] == qi]
+        assert sub.iloc[0]["vec_id"] == qi and sub.iloc[0]["score"] > 0.999
