@@ -8,6 +8,7 @@ The single-job replacement for the reference's Dagster jobs
     python -m scheduler_ray release  --fixture-dir D --out O   # per-source .nq.gz graphs
     python -m scheduler_ray corpus   --sf-dir S [--amplify N]  # build the synthetic page corpus
     python -m scheduler_ray compact  --out O [--target-mb N]   # merge small hive files post-write
+    python -m scheduler_ray pull     --graphs-dir G --dest D   # incremental release-graph pull (.bytesum skip)
 
 Owns its Ray session (the only places allowed to: CLI, bench.py, test
 fixture).  Designed to run under ``ray job submit`` unchanged — on a real
@@ -46,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--target-mb", type=int, default=128)
     sp.add_argument("--local-cpus", type=int, default=None)
+    sp = sub.add_parser("pull", help="incremental release-graph pull (bytesum skip-if-unchanged)")
+    sp.add_argument("--graphs-dir", required=True)
+    sp.add_argument("--dest", required=True)
 
     args = p.parse_args(argv)
 
@@ -54,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out = ensure_pages_fixture(args.sf_dir, amplify=args.amplify)
         print(json.dumps({"fixture_dir": out}))
+        return 0
+
+    if args.cmd == "pull":
+        # pure-IO, no Ray session needed (mirrors `nabu pull`)
+        from .sources.nq import pull_release_graphs
+
+        summary = pull_release_graphs(args.graphs_dir, args.dest)
+        counts = summary["action"].value_counts().to_dict() if len(summary) else {}
+        print(json.dumps({"files": int(len(summary)), **{k: int(v) for k, v in counts.items()}}))
         return 0
 
     import ray

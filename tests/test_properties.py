@@ -197,3 +197,42 @@ def test_expansion_context_prefix_resolution(ctx, local):
     preds = set(out["pred"].to_pylist())
     assert f"https://vocab.example/ns#{local}" in preds
     assert f"unmapped:{local}" in preds
+
+
+# --- round 3: the TOLERANT extraction must be variant-invariant ----------
+attr_st = st.sampled_from(["", " async", ' data-x="1"', " defer", "\nrel='x'"])
+q_st = st.sampled_from(['"', "'", ""])
+ws_st = st.sampled_from(["", " ", "  ", "\n"])
+case_st = st.sampled_from(["script", "SCRIPT", "Script"])
+type_case_st = st.sampled_from(["type", "TYPE", "Type"])
+mime_st = st.sampled_from(["application/ld+json", "application/LD+JSON"])
+charset_st = st.sampled_from(["", "; charset=utf-8"])
+close_ws_st = st.sampled_from(["", " ", "\n"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload_st, attr_st, attr_st, q_st, ws_st, ws_st, case_st, type_case_st,
+       mime_st, charset_st, close_ws_st)
+def test_extraction_tag_variant_invariance(
+    payload, pre_attr, post_attr, quote, ws_eq1, ws_eq2, tag_case, type_case,
+    mime, charset, close_ws
+):
+    """Any real-world combination of attribute placement, quote style,
+    case, whitespace and charset parameter extracts the payload
+    byte-identically (reference harvest contract
+    userCode/lib/containers.py:62-76)."""
+    if quote == "" and charset:
+        charset = ""  # unquoted values end at whitespace; keep valid html
+    open_tag = (
+        f"<{tag_case}{pre_attr} {type_case}{ws_eq1}={ws_eq2}"
+        f"{quote}{mime}{charset}{quote}{post_attr}>"
+    )
+    html = f"<html>{open_tag}{payload}</{tag_case}{close_ws}></html>"
+    batch = pa.table(
+        {
+            "url": pa.array(["https://host/s/items/1"]),
+            "html": pa.array([html.encode()], pa.binary()),
+        }
+    )
+    out = extract_jsonld_batch(batch)
+    assert out["extracted"].to_pylist() == [payload]
