@@ -101,33 +101,129 @@ def media_metadata_stage(ds: Dataset, *, id_col: str = "url", payload_col: str =
     )
 
 
+def decode_bmp24(payload: bytes) -> "np.ndarray | None":
+    """REAL pixel decode for uncompressed 24-bit BMP — the one image
+    container whose pixel layout needs no codec library (raw padded BGR
+    rows, bottom-up).  Returns an (h, w, 3) uint8 RGB array, or None if
+    the payload is not a 24-bit uncompressed BMP."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+def decode_wav_pcm16(payload: bytes) -> "np.ndarray | None":
+    """REAL sample decode for 16-bit PCM WAV (format tag 1): the data
+    chunk is raw little-endian int16 frames.  Returns an
+    (n_frames, n_channels) int16 array, or None for non-PCM payloads."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data" and fmt is not None:
+            audio_format, n_ch, _rate, _bps, _align, bits = fmt
+            if audio_format != 1 or bits != 16 or n_ch < 1:
+                return None
+            n = len(body) // (2 * n_ch)
+            return np.frombuffer(body, "<i2", n * n_ch).reshape(n, n_ch)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (pure-numpy gather) to (width, height)."""
+    tw, th = size
+    h, w = img.shape[:2]
+    yi = (np.arange(th) * h // th).astype(np.int64)
+    xi = (np.arange(tw) * w // tw).astype(np.int64)
+    return img[yi][:, xi]
+
+
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage (codec loaded once per actor).
 
-    ``mode='strict'`` raises NotImplementedError (no codec libs in this
-    container); ``mode='fake'`` emits deterministic hash-derived features
-    so the surrounding pipeline (schema, batching, downstream joins) can be
-    exercised and tested for real.
+    * ``mode='auto'`` (default): REAL pixel/sample decode where the
+      container needs no codec library — uncompressed 24-bit BMP
+      (:func:`decode_bmp24` + nearest-neighbor resize to ``target_size``
+      + mean-pooled 4×4 grayscale grid features) and 16-bit PCM WAV
+      (:func:`decode_wav_pcm16` + 16-bucket mean-|amplitude| features);
+      everything else falls back to the deterministic fake.
+    * ``mode='fake'``: deterministic hash-derived features only (the
+      plumbing harness).
+    * ``mode='strict'``: raises NotImplementedError for payloads that
+      would need codecs absent from this container.
     """
 
-    def __init__(self, mode: str = "fake", target_size: tuple[int, int] = (224, 224)):
-        if mode not in ("fake", "strict"):
+    def __init__(self, mode: str = "auto", target_size: tuple[int, int] = (224, 224)):
+        if mode not in ("auto", "fake", "strict"):
             raise ValueError(mode)
         self.mode = mode
         self.target_size = target_size
         # real implementation would do: self.codec = load_codec_library()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "media PIXEL decode requires image/audio codecs not present in "
-                "this environment; run with mode='fake' — container headers "
-                "(PNG/GIF/BMP/WAV) are still parsed for real via sniff_media"
+    def _decode_one(self, payload: bytes) -> "tuple[int, int, np.ndarray] | None":
+        img = decode_bmp24(payload)
+        if img is not None:
+            h, w = img.shape[:2]
+            small = resize_nearest(img, self.target_size)
+            gray = small.mean(axis=2, dtype=np.float64)
+            gh = resize_nearest(gray[..., None], (4, 4))[:, :, 0]
+            return w, h, (gh.reshape(-1) / 255.0).astype(np.float32)
+        wav = decode_wav_pcm16(payload)
+        if wav is not None:
+            n, ch = wav.shape
+            amp = np.abs(wav.astype(np.float64)).mean(axis=1)
+            # 16 equal time buckets of mean |amplitude|
+            edges = np.linspace(0, n, 17).astype(np.int64)
+            feats = np.array(
+                [amp[a:b].mean() if b > a else 0.0 for a, b in zip(edges[:-1], edges[1:])]
             )
+            return n, ch, (feats / 32768.0).astype(np.float32)
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids, widths, heights, feats = [], [], [], []
         for url, payload in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            digest = hashlib.sha256(payload).digest()
             ids.append(url)
+            if self.mode != "fake":
+                real = self._decode_one(payload)
+                if real is not None:
+                    w, h, f = real
+                    widths.append(int(w))
+                    heights.append(int(h))
+                    feats.append(f)
+                    continue
+                if self.mode == "strict":
+                    raise NotImplementedError(
+                        "media PIXEL decode for this payload requires codecs not "
+                        "present in this environment (only uncompressed BMP-24 and "
+                        "PCM-16 WAV decode natively); run with mode='auto'/'fake' — "
+                        "container headers are still parsed for real via sniff_media"
+                    )
+            digest = hashlib.sha256(payload).digest()
             info = sniff_media(payload)
             if info["width"] is not None:
                 # real dimensions from the container header
