@@ -243,8 +243,9 @@ PLANT_OFFSET = 1_000_000
 
 def _docs_with_near_dups(sf_dir: str, mod: int, suffix: str | None, min_chars: int = 0):
     """documents ∪ planted copies: doc_id%mod==0 (and n_chars≥min_chars)
-    re-emitted at doc_id+PLANT_OFFSET, text + suffix (None = exact copy)."""
-    docs = _read(sf_dir, "documents")
+    re-emitted at doc_id+PLANT_OFFSET, text + suffix (None = exact copy).
+    Column-pruned read (streaming map — nothing materializes)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
 
     def plant(b: pd.DataFrame) -> pd.DataFrame:
         sel = (b["doc_id"] % mod == 0) & (b["n_chars"] >= min_chars)
@@ -818,7 +819,9 @@ def q_spatial_join(sf_dir: str):
     from ..corpus import registry_from_documents
     from ..stages.spatial import bbox_contains_join
 
-    docs = _read(sf_dir, "documents")
+    # the registry derivation needs only 3 narrow columns — never pull
+    # the text column to the driver for the broadcast side
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
 
     def to_points(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -858,7 +861,8 @@ def q_polygon_join(sf_dir: str):
     from ..corpus import registry_from_documents
     from ..stages.spatial import polygon_contains_join
 
-    docs = _read(sf_dir, "documents")
+    # narrow broadcast-side read (see q_spatial_join)
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
 
     def to_points(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
