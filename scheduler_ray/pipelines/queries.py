@@ -472,8 +472,11 @@ def q_text_fingerprint(sf_dir: str):
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
             )
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).astype("int64")
+        frames = [
+            pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+            for ia, ib in dd.iter_pair_blocks(len(ids))
+        ]
+        return pd.concat(frames, ignore_index=True).astype("int64")
 
     out = fps.groupby("fingerprint").map_groups(pairs, batch_format="pandas").to_pandas()
     keep = (

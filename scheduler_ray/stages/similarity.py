@@ -114,6 +114,7 @@ def near_duplicates_embedding(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_width: int | None = None,
 ) -> Dataset:
     """All pairs (a < b) with cosine ≥ threshold, LSH-bucketed.
 
@@ -129,10 +130,12 @@ def near_duplicates_embedding(
        ``threshold - 0.15`` are pruned.  Each table uses DIFFERENT sketch
        planes, so estimate failures are independent across the tables a
        true pair collides in (miss ≲ (3e-3)^tables ≈ 1e-10).
-    2. **Verify** — candidate pairs (≪ corpus) are pulled to the driver,
-       their vec_id set broadcast, and a second pass fetches vectors for
-       candidate ids ONLY; ``groupby(pair_id)`` co-locates each pair for
-       the exact cosine test.
+    2. **Verify** — fully distributed (``dedup.distributed_pair_verify``):
+       only the unique candidate-id array is broadcast; a second pass
+       fetches vectors for candidate ids ONLY and a ``groupby(vec_a,
+       vec_b)`` co-locates each pair for the exact cosine test.  The pair
+       set never lands on the driver.  Hot buckets are capped to sorted-
+       chunk O(n · max_bucket_width) enumeration (logged).
 
     Recall: identical/near-identical vectors (θ≈0) share every signature
     — found with probability 1 (what the planted-duplicate oracle
@@ -142,9 +145,10 @@ def near_duplicates_embedding(
     """
     import math
 
-    import ray
-    import ray.data as rd
+    from .dedup import MAX_BUCKET_WIDTH
 
+    if max_bucket_width is None:
+        max_bucket_width = MAX_BUCKET_WIDTH
     est_cos = max(threshold - 0.15, 0.0)
     max_ham = int(math.floor(64 * math.acos(est_cos) / math.pi))
 
@@ -173,19 +177,33 @@ def near_duplicates_embedding(
     )
 
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import bucket_pair_spans, iter_pair_blocks, logger as dlog
+
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) < 2:
             return empty_pairs
         ids = g["vec_id"].to_numpy()
         sk = g["sketch"].to_numpy(np.uint64)
-        ia, ib = np.triu_indices(len(ids), 1)
+        # hot buckets capped to O(n · max_width) sorted-chunk enumeration
+        # (round-3 verdict item 1; shared with the MinHash path)
+        order, spans, capped = bucket_pair_spans(sk, ids, max_bucket_width)
+        if capped:
+            dlog.warning(
+                "hot embedding-LSH bucket capped: table=%s n=%d -> %d chunks",
+                int(g["table"].iloc[0]), len(ids), len(spans),
+            )
+            ids, sk = ids[order], sk[order]
         outs = []
-        for lo in range(0, len(ia), 1 << 20):
-            sa, sb = ia[lo : lo + (1 << 20)], ib[lo : lo + (1 << 20)]
-            ham = _popcount64(sk[sa] ^ sk[sb])
-            ok = ham <= max_ham
-            if ok.any():
-                outs.append(pd.DataFrame({"vec_a": ids[sa[ok]], "vec_b": ids[sb[ok]]}))
+        for lo, hi in spans:
+            cid, cs = ids[lo:hi], sk[lo:hi]
+            for ia, ib in iter_pair_blocks(hi - lo):
+                ham = _popcount64(cs[ia] ^ cs[ib])
+                ok = ham <= max_ham
+                if ok.any():
+                    a, b = cid[ia[ok]], cid[ib[ok]]
+                    outs.append(
+                        pd.DataFrame({"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)})
+                    )
         if not outs:
             return empty_pairs
         return pd.concat(outs, ignore_index=True).astype("int64")
@@ -198,33 +216,10 @@ def near_duplicates_embedding(
         .select_columns(["vec_a", "vec_b"])
     )
 
-    pairs_df = cand.to_pandas()  # pairs ≪ corpus (documented assumption)
-    if pairs_df.empty:
-        return rd.from_pandas(empty_pairs)
-    pairs_df = pairs_df.reset_index(drop=True)
-    members = pd.DataFrame(
-        {
-            "pair_id": np.concatenate([pairs_df.index.to_numpy()] * 2),
-            "vec_id": np.concatenate(
-                [pairs_df["vec_a"].to_numpy(), pairs_df["vec_b"].to_numpy()]
-            ),
-        }
-    )
-    members_ref = ray.put(members)
-    cand_ids_ref = ray.put(np.unique(members["vec_id"].to_numpy()))
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(cand_ids_ref)
-        b = batch[batch["vec_id"].isin(ids)][["vec_id", "embedding"]]
-        if b.empty:
-            return pd.DataFrame(
-                {
-                    "pair_id": pd.Series([], dtype="int64"),
-                    "vec_id": pd.Series([], dtype="int64"),
-                    "embedding": pd.Series([], dtype="object"),
-                }
-            )
-        return b.merge(ray.get(members_ref), on="vec_id")[["pair_id", "vec_id", "embedding"]]
+    # phase 2: distributed exact verify — the pair set stays a Dataset
+    # (round-3 verdict item 2); only the unique candidate-id array is
+    # driver-resident/broadcast
+    from .dedup import distributed_pair_verify
 
     def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
@@ -236,10 +231,17 @@ def near_duplicates_embedding(
             return pd.DataFrame({"vec_a": [int(ids[0])], "vec_b": [int(ids[1])]})
         return empty_pairs
 
-    return (
-        embeddings.map_batches(attach, batch_format="pandas")
-        .groupby("pair_id")
-        .map_groups(verify_pair, batch_format="pandas")
+    return distributed_pair_verify(
+        embeddings,
+        cand,
+        id_col="vec_id",
+        a_col="vec_a",
+        b_col="vec_b",
+        payload_col="embedding",
+        payload_filler=np.zeros(0, np.float64),
+        normalize_payload=lambda s: s.map(lambda v: np.asarray(v, np.float64)),
+        verify_pair=verify_pair,
+        empty_pairs=empty_pairs,
     )
 
 

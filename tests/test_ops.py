@@ -618,3 +618,73 @@ def test_bmp24_and_wav_pcm_real_decode_and_resize():
     undecodable = pa.table({"url": pa.array(["x"]), "html": pa.array([b"zz"], pa.binary())})
     with pytest.raises(NotImplementedError):
         MediaDecoder(mode="strict")(undecodable)
+
+
+# ------------------------------------------------- hot-bucket capping (r4)
+def test_iter_pair_blocks_covers_triangle():
+    """The blockwise generator emits exactly the i<j pairs, no triangle
+    materialization (round-3 advice on np.triu_indices)."""
+    for n in (0, 1, 2, 5, 17):
+        got = set()
+        for ia, ib in dd.iter_pair_blocks(n, block=4):
+            assert (ia < ib).all()
+            got |= set(zip(ia.tolist(), ib.tolist()))
+        want = {(i, j) for i in range(n) for j in range(i + 1, n)}
+        assert got == want
+
+
+def test_bucket_pair_spans_bounds_hot_bucket():
+    """A planted boilerplate bucket (10k rows, identical sketches) is
+    capped: per-group pair work is O(n · max_width), not O(n²), and the
+    identical-sketch run still yields every within/cross-chunk pair that
+    union-find needs (round-3 verdict item 1)."""
+    n, width, overlap = 10_000, 256, 32
+    ids = np.arange(n, dtype=np.int64)
+    sketch = np.zeros(n, np.uint64)  # degenerate: all identical
+    order, spans, capped = dd.bucket_pair_spans(sketch, ids, width, overlap)
+    assert capped
+    # every row covered, chunks bounded
+    covered = np.zeros(n, bool)
+    total_pairs = 0
+    for lo, hi in spans:
+        assert hi - lo <= width
+        covered[lo:hi] = True
+        total_pairs += (hi - lo) * (hi - lo - 1) // 2
+    assert covered.all()
+    assert total_pairs <= n * width  # linear in n, not n²/2
+    # adjacent chunks overlap so sketch-sorted runs stay connected
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert lo2 < hi1
+    # small buckets: identity order, single full span (exact semantics)
+    o2, s2, c2 = dd.bucket_pair_spans(sketch[:100], ids[:100], width, overlap)
+    assert not c2 and s2 == [(0, 100)] and (o2 == np.arange(100)).all()
+
+
+def test_minhash_hot_bucket_capped_still_finds_dups():
+    """minhash_lsh_pairs with a tiny max_bucket_width on a corpus whose
+    rows all share one LSH bucket (identical texts) still verifies the
+    planted near-dup pairs inside chunks, and the pipeline completes with
+    bounded per-group work."""
+    texts = ["the quick brown fox jumps over the lazy dog"] * 40
+    ds = _docs(texts, ids=list(range(40)))
+    pairs = dd.minhash_lsh_pairs(ds, jaccard_threshold=0.8, max_bucket_width=8).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # identical texts → identical sketches → sorted-chunk runs keep
+    # adjacent ids pairable; the chain (i, i+1) must fully survive so a
+    # union-find downstream still forms ONE cluster
+    for i in range(39):
+        assert (i, i + 1) in got
+    # capping really dropped distant pairs (bounded output)
+    assert len(got) < 40 * 39 // 2
+
+
+def test_distributed_pair_verify_no_driver_pairs():
+    """Phase-2 verify matches the old driver-side result on a mixed
+    corpus (true dups + spurious candidates rejected by the exact test)."""
+    base = "water level station measuring river discharge daily "
+    texts = [base * 4, base * 4, base * 4 + "extra tail words here", "completely different text about astronomy"]
+    ds = _docs(texts, ids=[10, 11, 12, 13])
+    pairs = dd.minhash_lsh_pairs(ds, jaccard_threshold=0.9).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (10, 11) in got
+    assert all(13 not in p for p in got)
