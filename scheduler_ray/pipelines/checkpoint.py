@@ -155,5 +155,41 @@ def run_checkpointed(
     return {"completed": completed, "skipped": sorted(done), "failed": []}
 
 
+def committed_sources(out_dir: str) -> set[str]:
+    """Partitions with a committed manifest (sanitized ids — the hive dir
+    label under ``data/graph=``)."""
+    mdir = os.path.join(out_dir, "manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    return {f[: -len(".json")] for f in os.listdir(mdir) if f.endswith(".json")}
+
+
 def read_output(out_dir: str) -> Dataset:
-    return rd.read_parquet(os.path.join(out_dir, "data"))
+    """Manifest-gated read (round-3 advice): only partitions with a
+    committed manifest are read, so a crash mid-``write_parquet`` (partial
+    partition dirs in ``data/`` with no manifest yet) is invisible to
+    readers, matching the write protocol's "manifest last" commit point.
+    Reading ``data/`` directly with ``rd.read_parquet`` bypasses this
+    gate and may see uncommitted garbage.
+
+    Fast path: when every ``graph=`` dir is committed (the steady state)
+    this is a plain hive read.  Otherwise only the committed partitions'
+    files are read (Ray applies hive partitioning to explicit file paths
+    too, so the ``graph`` column is preserved either way)."""
+    data_dir = os.path.join(out_dir, "data")
+    live = committed_sources(out_dir)
+    gdirs = [d for d in sorted(os.listdir(data_dir)) if d.startswith("graph=")]
+    stale = {
+        d for d in gdirs if mf.sanitize_partition_id(d[len("graph="):]) not in live
+    }
+    if not live or not stale:
+        return rd.read_parquet(data_dir)
+    files = []
+    for d in gdirs:
+        if d in stale:
+            continue
+        p = os.path.join(data_dir, d)
+        files += [
+            os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+        ]
+    return rd.read_parquet(files)

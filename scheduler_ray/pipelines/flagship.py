@@ -138,16 +138,46 @@ def load_sources_only(fixture_dir: str) -> pd.DataFrame:
 
 def read_graph(out_dir: str) -> Dataset:
     """Read a written graph back with the exact TRIPLE_SCHEMA dtypes (hive
-    partition columns come back as plain string — recast)."""
-    from ..stages.expand import TRIPLE_SCHEMA
+    partition columns come back as plain string — recast).
 
-    ds = rd.read_parquet(out_dir)
+    Manifest-aware (round-3 advice): when a commit manifest exists, ONLY
+    the files it names are read — uncommitted garbage from a crashed
+    fixup/compaction window (old + new file both on disk) is invisible,
+    matching the writer's commit protocol.  The ``pred`` hive value is
+    reconstructed from each file's path (explicit file lists bypass
+    pyarrow's hive inference)."""
+    import os
+
+    from ..stages.expand import TRIPLE_SCHEMA
+    from ..state.fs import LocalFS, read_commit_manifest
+
+    man = read_commit_manifest(LocalFS(), out_dir)
+    if man is not None:
+        paths = [os.path.join(out_dir, f) for f in man["files"]]
+        if not paths:
+            return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
+        ds = rd.read_parquet(paths, include_paths=True)
+    else:
+        ds = rd.read_parquet(out_dir)
 
     def cast(t: pa.Table) -> pa.Table:
         from urllib.parse import unquote
 
         import pyarrow.compute as pc
 
+        if "pred" not in t.column_names and "path" in t.column_names:
+            # manifest file-list read: derive pred from the hive dir name
+            # via the (tiny) unique path set
+            upaths = pc.unique(t["path"])
+            preds = pa.array(
+                [
+                    unquote(os.path.basename(os.path.dirname(p))[len("pred="):])
+                    for p in upaths.to_pylist()
+                ],
+                pa.large_string(),
+            )
+            pred = pc.take(preds, pc.index_in(t["path"], value_set=upaths))
+            t = t.drop_columns(["path"]).append_column("pred", pred)
         cols = {f.name: pc.cast(t[f.name], f.type) for f in TRIPLE_SCHEMA}
         # Ray's write_parquet percent-encodes hive partition values
         # (rdf:type → rdf%3Atype) and the reader keeps them encoded —

@@ -233,14 +233,19 @@ def _fixup_file(path: str, lut: tuple, drop_sameas: bool, fs=None) -> tuple[str,
 
 
 @ray.remote(num_cpus=1)
-def _compact_dir(pdir: str, target_bytes: int, fs=None) -> tuple[list[str], list[str]]:
+def _compact_dir(
+    pdir: str, target_bytes: int, fs=None, allowed: list[str] | None = None
+) -> tuple[list[str], list[str]]:
     """Merge this hive partition dir's small files into ~target-size
     sorted files.  Only files below the target participate; large files
-    are left untouched.  New files first (deterministic content-derived
-    names), predecessors deleted after — returns (added, removed) so the
-    caller can re-commit the manifest."""
+    are left untouched.  When ``allowed`` is given (the commit manifest's
+    live files for this dir) ONLY those files are read — uncommitted
+    garbage is never merged into a live file (round-3 advice).  Writes
+    new content-named files but deletes NOTHING: returns (added,
+    removed-candidates) so the caller re-commits the manifest FIRST and
+    deletes predecessors after, keeping every crash window readable."""
     fs = fs or LocalFS()
-    files = fs.list(pdir, suffix=".parquet")
+    files = fs.list(pdir, suffix=".parquet") if allowed is None else sorted(allowed)
     small = [f for f in files if fs.size(f) < target_bytes]
     added: list[str] = []
     removed: list[str] = []
@@ -257,10 +262,7 @@ def _compact_dir(pdir: str, target_bytes: int, fs=None) -> tuple[list[str], list
         path = os.path.join(pdir, f"part-{_content_stem(tbl)}.parquet")
         fs.put_table(tbl, path)
         added.append(path)
-        for g in group:
-            if g != path:
-                fs.delete(g)
-                removed.append(g)
+        removed.extend(g for g in group if g != path)
 
     for f in small:
         group.append(f)
@@ -278,25 +280,41 @@ def compact_partitions(out_dir: str, *, target_mb: int = 128, fs=None) -> dict:
     pred), so rare predicates produce many tiny files — the classic
     small-file problem at 100 TB.  Compaction merges sub-target files
     into ~target-size internally-sorted files; per-dir sort order and
-    hive semantics are preserved, and the commit manifest (when present)
-    is rewritten to the post-compaction file set."""
+    hive semantics are preserved.  Commit ordering (round-3 advice): the
+    tasks only ADD files; the manifest is re-committed to the
+    post-compaction set on the driver, and only then are merged
+    predecessors deleted — a crash anywhere leaves a committed,
+    readable state (plus reclaimable garbage at worst)."""
     from ..state.fs import read_commit_manifest
 
     fs = fs or LocalFS()
     target = target_mb * 1024 * 1024
+    man = read_commit_manifest(fs, out_dir)
     pdirs = [
         os.path.join(out_dir, d)
         for d in sorted(os.listdir(out_dir))
         if d.startswith("pred=") and os.path.isdir(os.path.join(out_dir, d))
     ]
-    results = ray.get([_compact_dir.remote(d, target, fs) for d in pdirs])
+    allowed_by_dir: dict[str, list[str]] = {}
+    if man is not None:
+        for f in man["files"]:
+            p = os.path.join(out_dir, f)
+            allowed_by_dir.setdefault(os.path.dirname(p), []).append(p)
+        pdirs = [d for d in pdirs if d in allowed_by_dir]
+    results = ray.get(
+        [
+            _compact_dir.remote(d, target, fs, allowed_by_dir.get(d))
+            for d in pdirs
+        ]
+    )
     added = [p for a, _r in results for p in a]
     removed = {p for _a, r in results for p in r}
-    man = read_commit_manifest(fs, out_dir)
     if man is not None:
         live = {os.path.join(out_dir, f) for f in man["files"]}
         live = (live - removed) | set(added)
         write_commit_manifest(fs, out_dir, live, {k: v for k, v in man.items() if k != "files"})
+    for p in removed:
+        fs.delete(p)
     return {"dirs": len(pdirs), "files_merged": int(sum(len(r) for _a, r in results))}
 
 

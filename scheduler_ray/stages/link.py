@@ -324,6 +324,12 @@ def _subject_points(batch: pa.Table) -> dict[str, tuple[float, float]]:
         return {}
     edges = batch.filter(geo_mask)
     coords = batch.filter(coord_mask)
+    # ``index_in`` keeps the FIRST matching edge; the dict it replaced kept
+    # the LAST (overwrite-wins).  Reverse the edge table so first-in-reversed
+    # == last-in-batch, preserving the old semantics when one blank label is
+    # the object of several geo edges (round-3 advice).
+    if edges.num_rows > 1:
+        edges = edges.take(pa.array(np.arange(edges.num_rows - 1, -1, -1)))
     # columnar blank-label join (round-2 verdict item 6 — the old version
     # looped to_pylist() per coord row): coord subject → geo-edge object
     idx = pc.index_in(coords["subj"], value_set=edges["obj"].combine_chunks())

@@ -140,3 +140,33 @@ def test_manifest_gc_oldest_first_bounded(tmp_out):
     # second sweep picks up the remaining expired one; src3 is retained
     assert mf.gc_manifests(tmp_out, max_age_s=50, now=now) == ["src1"]
     assert mf.load_manifest(tmp_out, "src3") is not None
+
+
+def test_read_output_ignores_uncommitted_partition(fixture_sf0001, tmp_out):
+    """Round-3 advice: a partition dir written but never manifest-committed
+    (crash between write_parquet and write_manifest) is invisible to
+    read_output, and the graph hive column survives the gated read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tmp_out, "kg")
+    cp.run_checkpointed(fixture_sf0001, out)
+    total = cp.read_output(out).count()
+    # plant an uncommitted partition with plausible triples
+    bogus = os.path.join(out, "data", "graph=bogus")
+    os.makedirs(bogus, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "subj": pa.array(["s"], pa.large_string()),
+                "pred": pa.array(["p"], pa.large_string()),
+                "obj": pa.array(["o"], pa.large_string()),
+                "obj_is_literal": pa.array([False]),
+            }
+        ),
+        os.path.join(bogus, "part-0.parquet"),
+    )
+    ds = cp.read_output(out)
+    assert ds.count() == total
+    gvals = set(ds.unique("graph"))
+    assert "bogus" not in gvals and len(gvals) == 20

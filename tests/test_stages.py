@@ -341,3 +341,25 @@ def test_entity_linker_gating():
         if p == "hyf:linearElement"
     ]
     assert links == [("raw1", "https://m/9")]  # gated source emits nothing
+
+
+def test_extract_exotic_casing_extra_block():
+    """Round-3 advice: one literal-cased block + a second block in an
+    exotic casing (Ld+Json) must still be detected by the multi-block
+    gate and land in extracted_extra; an exotic-cased FIRST block is
+    extracted too ((?i) extraction pattern)."""
+    two = (
+        '<script type="application/ld+json">A</script>'
+        '<script type="application/Ld+Json">B</script>'
+    )
+    exotic_first = '<script type="application/LD+Json">C</script>'
+    geojson_noise = (
+        '<p>download as application/geo+json</p>'
+        '<script type="application/ld+json">D</script>'
+    )
+    out = extract_jsonld_batch(
+        _pages_batch([f"<html>{two}</html>", f"<html>{exotic_first}</html>",
+                      f"<html>{geojson_noise}</html>"])
+    )
+    assert out["extracted"].to_pylist() == ["A", "C", "D"]
+    assert out["extracted_extra"].to_pylist() == ['["B"]', None, None]

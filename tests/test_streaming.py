@@ -233,3 +233,39 @@ def test_no_rename_fs_and_commit_manifest(tmp_out):
         if f.endswith(".parquet")
     )
     assert sorted(man2["files"]) == on_disk2
+
+
+def test_manifest_gated_read_ignores_garbage(tmp_out):
+    """Crash-window semantics (round-3 advice): a stray uncommitted file
+    in a pred dir (e.g. a fixup predecessor whose delete never ran, or a
+    torn write) is invisible to read_graph and never merged by
+    compaction — only manifest-listed files are live."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scheduler_ray.pipelines.streaming import compact_partitions
+
+    b = _tbl(
+        [
+            ("https://pids.geoconnex.dev/x/9", "schema:name", "Feature 9", True, "s"),
+            ("https://pids.geoconnex.dev/x/9", "rdf:type", "hyf:HY_HydroLocation", False, "s"),
+        ]
+    )
+    ds = rd.from_arrow([b])
+    write_canonical_single_pass(ds, tmp_out, drop_sameas=True)
+    committed = _tripleset(flagship.read_graph(tmp_out).to_pandas())
+    # plant garbage: a duplicate-content file under a new (uncommitted) name
+    pdir = glob.glob(os.path.join(tmp_out, "pred=*"))[0]
+    src = glob.glob(os.path.join(pdir, "part-*.parquet"))[0]
+    garbage = os.path.join(pdir, "part-deadbeefdeadbeef.parquet")
+    pq.write_table(pq.read_table(src), garbage)
+    got = _tripleset(flagship.read_graph(tmp_out).to_pandas())
+    assert got == committed  # garbage invisible, no duplicated triples
+    assert len(flagship.read_graph(tmp_out).to_pandas()) == len(
+        flagship.read_graph(tmp_out).to_pandas().drop_duplicates()
+    )
+    # compaction must not merge the garbage into a live file
+    compact_partitions(tmp_out, target_mb=64)
+    assert _tripleset(flagship.read_graph(tmp_out).to_pandas()) == committed
