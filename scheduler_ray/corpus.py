@@ -36,6 +36,12 @@ triples the reference asserts (reference: userCode/defs_test.py:75-80,
   ``@base`` with relative-IRI ``@id``s, an ``@list`` collection
   (rdf:first/rdf:rest/rdf:nil chain over deterministic blank nodes) and a
   ``@reverse`` edge — 7 golden triples per such page.
+* ``doc_id % 31 == 0``  (valid docs) → a FOURTH ld+json block with a
+  dict-valued ``@context`` term definition (``@type: "@id"`` coercion +
+  prefixed term remaps) — 3 golden triples per such page (round-4).
+* ``doc_id % 7``  selects the script-tag variant
+  (corpus.SCRIPT_OPEN/CLOSE_VARIANTS); variants 5-6 wrap block content in
+  CDATA / HTML-comment wrappers (corpus.WRAP_*_VARIANTS, round-4).
 
 All html/JSON text is pure ASCII so byte lengths equal character counts.
 """
@@ -66,17 +72,22 @@ AMPLIFY_STRIDE = 1_000_000
 MALFORMED_JSON = '{"@id": "broken", "schema:name": "unterminated'
 
 #: real-world script-tag variants (round-2 verdict item 2), chosen per page
-#: by ``doc_id % 5`` — extra attributes in any order, quote styles, case,
-#: charset parameter, whitespace before the closing ``>``.  Extraction must
-#: treat all of them identically (reference harvest contract
-#: userCode/lib/containers.py:62-76); the exact bytes are mirrored by
-#: oracles.OPEN_TAG / oracles.CLOSE_TAG for the mm_metadata oracle.
+#: by ``doc_id % 7`` — extra attributes in any order, quote styles, case,
+#: charset parameter, whitespace before the closing ``>``.  Variants 5-6
+#: (round-3 verdict item 10) wrap the block CONTENT in a JS-comment-guarded
+#: CDATA section / an HTML comment (see WRAP_*_VARIANTS) — extraction stays
+#: byte-identical (wrapper bytes included); expansion strips the wrapper.
+#: Extraction must treat all of them identically (reference harvest
+#: contract userCode/lib/containers.py:62-76); the exact bytes are mirrored
+#: by oracles.OPEN_TAG / CLOSE_TAG / WRAP_PRE / WRAP_SUF.
 SCRIPT_OPEN_VARIANTS = (
     '<script type="application/ld+json">',
     "<script async type='application/ld+json'>",
     '<SCRIPT TYPE="application/LD+JSON" data-x="1">',
     '<script data-y="2" type=application/ld+json>',
     '<script  type = "application/ld+json; charset=utf-8" >',
+    '<script type="application/ld+json">',
+    "<script type='application/ld+json' defer>",
 )
 SCRIPT_CLOSE_VARIANTS = (
     "</script>",
@@ -84,7 +95,12 @@ SCRIPT_CLOSE_VARIANTS = (
     "</SCRIPT>",
     "</script>",
     "</script >",
+    "</script>",
+    "</script>",
 )
+#: content wrappers per variant (empty for 0-4): CDATA / HTML comment
+WRAP_PRE_VARIANTS = ("", "", "", "", "", "/*<![CDATA[*/", "<!--")
+WRAP_SUF_VARIANTS = ("", "", "", "", "", "/*]]>*/", "-->")
 
 #: inline @context planted on doc_id%13==0 documents (exact bytes — the
 #: oracle reproduces them)
@@ -208,6 +224,30 @@ def third_block_for_documents(df: pd.DataFrame) -> pd.Series:
     return block.where(valid & (did % 29 == 0), None)
 
 
+def fourth_block_for_documents(df: pd.DataFrame) -> pd.Series:
+    """The dict-valued-@context block (None when absent): planted on valid
+    ``doc_id % 31 == 0`` pages (round-3 verdict item 4).  Exercises the
+    standard schema.org context idiom: a dict-valued term definition with
+    ``@type: "@id"`` value coercion (``author`` — its relative-IRI string
+    value resolves against ``@base`` into a node reference), a prefixed
+    string-valued term (``about`` → schema:about, resolved against the
+    ``schema`` prefix of the same context), and a prefixed ``@type``.
+    3 golden triples per page (oracles.EXTRA31_ROWS)."""
+    v = _vec(df)
+    did = v["doc_id"]
+    base = PID_PREFIX + v["src"] + "/"
+    block = (
+        '{"@context":{"schema":"https://schema.org/","@base":"' + base + '",'
+        '"author":{"@id":"schema:author","@type":"@id"},"about":"schema:about"},'
+        '"@id":"' + v["d"] + '/meta",'
+        '"@type":"schema:CreativeWork",'
+        '"author":"people/' + v["d"] + '",'
+        '"about":"Topic ' + v["d"] + '"}'
+    )
+    valid = (did % 17 != 0) & (did % 19 != 0)
+    return block.where(valid & (did % 31 == 0), None)
+
+
 def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     """documents rows → pages rows (url, warc_ts, html, text, lang).
 
@@ -220,20 +260,25 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     v = _vec(df)
     url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
     payload = jsonld_for_documents(df)
-    vi = (v["doc_id"] % 5).to_numpy()
+    vi = (v["doc_id"] % 7).to_numpy()
     open_tag = pd.Series(np.array(SCRIPT_OPEN_VARIANTS, object)[vi], index=df.index)
     close_tag = pd.Series(np.array(SCRIPT_CLOSE_VARIANTS, object)[vi], index=df.index)
-    script = (open_tag + payload + close_tag).fillna("")
+    wrap_pre = pd.Series(np.array(WRAP_PRE_VARIANTS, object)[vi], index=df.index)
+    wrap_suf = pd.Series(np.array(WRAP_SUF_VARIANTS, object)[vi], index=df.index)
+    script = (open_tag + wrap_pre + payload + wrap_suf + close_tag).fillna("")
     block2 = second_block_for_documents(df)
-    script2 = (open_tag + block2 + close_tag).fillna("")
+    script2 = (open_tag + wrap_pre + block2 + wrap_suf + close_tag).fillna("")
     block3 = third_block_for_documents(df)
-    script3 = (open_tag + block3 + close_tag).fillna("")
+    script3 = (open_tag + wrap_pre + block3 + wrap_suf + close_tag).fillna("")
+    block4 = fourth_block_for_documents(df)
+    script4 = (open_tag + wrap_pre + block4 + wrap_suf + close_tag).fillna("")
     filler = "<!--" + "x" * (pad_kb * 1024) + "-->" if pad_kb else ""
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"
         + script
         + script2
         + script3
+        + script4
         + "</head><body><p>" + df["text"].astype(str) + "</p>" + filler + "</body></html>"
     )
     ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(v["doc_id"] % AMPLIFY_STRIDE, unit="s")

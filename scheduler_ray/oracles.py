@@ -21,6 +21,8 @@ from .corpus import (
     SCHEMA_IRI,
     SCRIPT_CLOSE_VARIANTS,
     SCRIPT_OPEN_VARIANTS,
+    WRAP_PRE_VARIANTS,
+    WRAP_SUF_VARIANTS,
 )
 
 # ---- shared scalar fragments over the `documents` view -------------------
@@ -52,19 +54,25 @@ CTX = "(doc_id % 13 = 0)"
 MULTI = f"({VALID} AND doc_id % 23 = 0)"
 #: JSON-LD-completeness extra block (corpus.third_block_for_documents)
 EXTRA29 = f"({VALID} AND doc_id % 29 = 0)"
+#: dict-valued-@context block (corpus.fourth_block_for_documents, round-4)
+EXTRA31 = f"({VALID} AND doc_id % 31 = 0)"
 
 
 def _tag_case(variants: tuple[str, ...]) -> str:
-    """doc_id%5 → the page's script-tag variant bytes (corpus lockstep)."""
+    """doc_id%7 → the page's script-tag variant bytes (corpus lockstep)."""
     whens = " ".join(
         f"WHEN {i} THEN '{t.replace(chr(39), chr(39) * 2)}'" for i, t in enumerate(variants)
     )
-    return f"CASE doc_id % 5 {whens} END"
+    return f"CASE doc_id % 7 {whens} END"
 
 
-#: the exact script open/close tag bytes per page (corpus.SCRIPT_*_VARIANTS)
+#: the exact script open/close tag + content-wrapper bytes per page
+#: (corpus.SCRIPT_*_VARIANTS / WRAP_*_VARIANTS; wrappers are part of the
+#: extracted bytes — expansion strips them)
 OPEN_TAG = _tag_case(SCRIPT_OPEN_VARIANTS)
 CLOSE_TAG = _tag_case(SCRIPT_CLOSE_VARIANTS)
+WRAP_PRE = _tag_case(WRAP_PRE_VARIANTS)
+WRAP_SUF = _tag_case(WRAP_SUF_VARIANTS)
 
 #: predicate spellings — full IRIs for @context documents
 _P_IRI = {
@@ -127,12 +135,18 @@ CASE_C = (
 )
 
 _ML = MALFORMED_JSON.replace("'", "''")
-EXTRACTED = (
-    "CASE WHEN doc_id % 17 = 0 THEN NULL "
-    f"WHEN doc_id % 19 = 0 THEN '{_ML}' "
+#: block bytes BEFORE wrapping (corpus.jsonld_for_documents)
+_PAYLOAD = (
+    f"CASE WHEN doc_id % 19 = 0 THEN '{_ML}' "
     f"WHEN doc_id % 10 = 0 THEN {CASE_C} "
     f"WHEN doc_id % 2 = 0 THEN {CASE_B} "
     f"ELSE {CASE_A} END"
+)
+#: extracted bytes = wrapper-included (byte-identity contract): variants
+#: 5-6 carry CDATA / HTML-comment wrappers inside the script tag
+EXTRACTED = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    f"ELSE ({WRAP_PRE}) || ({_PAYLOAD}) || ({WRAP_SUF}) END"
 )
 
 RAW_SUBJ = (
@@ -175,6 +189,35 @@ EXTRA29_ROWS: list[tuple[str, str, str, str, str]] = [
     (_B29_1, "'rdf:first'", f"'second ' || {D}", "TRUE", EXTRA29),
     (_B29_1, "'rdf:rest'", "'rdf:nil'", "FALSE", EXTRA29),
     (C29, f"'{SCHEMA_IRI}isPartOf'", S29, "FALSE", EXTRA29),
+]
+
+
+#: the dict-valued-@context block (NULL when absent) —
+#: corpus.fourth_block_for_documents (term defs + @type:@id coercion)
+FOURTH_BLOCK = (
+    f"CASE WHEN {EXTRA31} THEN "
+    "'{\"@context\":{\"schema\":\"https://schema.org/\",\"@base\":\"https://pids.geoconnex.dev/' || source || '/\",'"
+    " || '\"author\":{\"@id\":\"schema:author\",\"@type\":\"@id\"},\"about\":\"schema:about\"},'"
+    " || '\"@id\":\"' || " + D + " || '/meta\",'"
+    " || '\"@type\":\"schema:CreativeWork\",'"
+    " || '\"author\":\"people/' || " + D + " || '\",'"
+    " || '\"about\":\"Topic ' || " + D + " || '\"}'"
+    " ELSE NULL END"
+)
+
+#: expansion of FOURTH_BLOCK: @base-resolved subject, coerced author IRI,
+#: prefix-resolved about literal, prefixed @type
+S31 = f"{PID} || '/meta'"
+EXTRA31_ROWS: list[tuple[str, str, str, str, str]] = [
+    (S31, "'rdf:type'", f"'{SCHEMA_IRI}CreativeWork'", "FALSE", EXTRA31),
+    (
+        S31,
+        f"'{SCHEMA_IRI}author'",
+        f"'https://pids.geoconnex.dev/' || source || '/people/' || {D}",
+        "FALSE",
+        EXTRA31,
+    ),
+    (S31, f"'{SCHEMA_IRI}about'", f"'Topic ' || {D}", "TRUE", EXTRA31),
 ]
 
 
@@ -235,6 +278,8 @@ RAW_TRIPLES_SQL = _triples_union(
         *[(RAW_SUBJ, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
         # third-block completeness triples (@base/@list/@reverse)
         *EXTRA29_ROWS,
+        # fourth-block dict-valued-@context triples (round-4)
+        *EXTRA31_ROWS,
         # linker emission at raw subject
         (
             RAW_SUBJ,
@@ -252,8 +297,9 @@ CANONICAL_TRIPLES_SQL = _triples_union(
     _with_where(_payload_rows(PID, RAW_SUBJ), VALID)
     + [
         *[(PID, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
-        # third-block subjects carry no sameAs — canonical form unchanged
+        # third/fourth-block subjects carry no sameAs — canonical unchanged
         *EXTRA29_ROWS,
+        *EXTRA31_ROWS,
         (
             PID,
             "'hyf:linearElement'",

@@ -904,13 +904,34 @@ def q_mm_metadata(sf_dir: str):
 
 
 def sql_mm_metadata() -> str:
-    from ..oracles import CLOSE_TAG, D, EXTRACTED, OPEN_TAG, SECOND_BLOCK, THIRD_BLOCK, URL
+    from ..oracles import (
+        CLOSE_TAG,
+        D,
+        EXTRACTED,
+        FOURTH_BLOCK,
+        OPEN_TAG,
+        SECOND_BLOCK,
+        THIRD_BLOCK,
+        URL,
+        WRAP_PRE,
+        WRAP_SUF,
+    )
+
+    # EXTRACTED already carries the content wrapper (byte-identity
+    # contract); blocks 2-4 are payload-only fragments, so the per-page
+    # wrapper bytes are re-applied here (corpus.pages_from_documents).
+    def _wrapped(block: str) -> str:
+        return (
+            f"COALESCE(({OPEN_TAG}) || ({WRAP_PRE}) || ({block}) || "
+            f"({WRAP_SUF}) || ({CLOSE_TAG}), '')"
+        )
 
     html = (
         f"'<html><head><title>Feature ' || {D} || '</title>' || "
         f"COALESCE(({OPEN_TAG}) || ({EXTRACTED}) || ({CLOSE_TAG}), '') || "
-        f"COALESCE(({OPEN_TAG}) || ({SECOND_BLOCK}) || ({CLOSE_TAG}), '') || "
-        f"COALESCE(({OPEN_TAG}) || ({THIRD_BLOCK}) || ({CLOSE_TAG}), '') || "
+        f"{_wrapped(SECOND_BLOCK)} || "
+        f"{_wrapped(THIRD_BLOCK)} || "
+        f"{_wrapped(FOURTH_BLOCK)} || "
         "'</head><body><p>' || text || '</p></body></html>'"
     )
     return f"""

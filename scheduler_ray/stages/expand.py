@@ -27,6 +27,14 @@ JSON-LD→RDF contract):
 * ``@base`` / relative-IRI resolution: relative ``@id`` values (node ids
   and references) resolve against ``@base`` with RFC-3986 ``urljoin``
   semantics; ``@vocab`` never applies to ``@id`` (spec behavior).
+* **dict-valued term definitions** (round-3 verdict item 1): a context
+  entry ``"author": {"@id": "schema:author", "@type": "@id"}`` remaps the
+  term to its (prefix-resolved) ``@id`` and coerces the term's string
+  values to IRIs (resolved against ``@base``); string-valued term entries
+  with prefixed values (``"about": "schema:about"``) resolve too.
+* **wrapped blocks**: one recognized CDATA (``/*<![CDATA[*/…/*]]>*/`` or
+  plain) or HTML-comment wrapper is stripped before parsing — extraction
+  stays byte-identical, the strip happens here (round-3 verdict item 10).
 * ``@list``: RDF collection encoding — a chain of deterministic blank
   nodes with ``rdf:first``/``rdf:rest`` terminated by ``rdf:nil`` (empty
   list → ``rdf:nil`` directly).
@@ -67,6 +75,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from .validate import strip_wrappers
+
 RDF_TYPE = "rdf:type"
 SAME_AS = "owl:sameAs"
 #: full-IRI spelling — matched everywhere SAME_AS is (a document whose
@@ -105,13 +115,24 @@ def _is_uri(v: str) -> bool:
     return v.startswith("http://") or v.startswith("https://")
 
 
-def _parse_context(doc: dict) -> dict[str, str]:
-    """{prefix-or-term: iri} map from an inline ``@context``: dict entries
-    (string-valued, incl. ``@vocab``/``@base``), remote string entries via
-    the :data:`PINNED_CONTEXTS` offline table, and list-valued contexts
-    merged left to right."""
+def _parse_context(doc: dict) -> tuple[dict[str, str], frozenset[str]]:
+    """(term map, @id-coerced terms) from an inline ``@context``.
+
+    * string-valued entries (incl. ``@vocab``/``@base``) and remote string
+      entries via the :data:`PINNED_CONTEXTS` offline table; list-valued
+      contexts merge left to right;
+    * **dict-valued term definitions** (round-3 verdict item 1 — the
+      standard schema.org idiom ``"author": {"@id": "schema:author",
+      "@type": "@id"}``): the term maps to its ``@id`` (resolved against
+      the context's prefix entries), and ``"@type": "@id"`` marks the
+      term's STRING values as IRIs (node references resolved against
+      ``@base``) instead of literals;
+    * prefixed term-definition VALUES (``"about": "schema:about"``)
+      resolve against the final prefix map in a second pass.
+    """
     raw = doc.get("@context")
     out: dict[str, str] = {}
+    coerce: set[str] = set()
     for entry in raw if isinstance(raw, list) else [raw]:
         if isinstance(entry, str):
             out.update(PINNED_CONTEXTS.get(entry, {}))
@@ -119,7 +140,22 @@ def _parse_context(doc: dict) -> dict[str, str]:
             for k, v in entry.items():
                 if isinstance(v, str):
                     out[k] = v
-    return out
+                elif isinstance(v, dict):
+                    tid = v.get("@id")
+                    if isinstance(tid, str):
+                        out[k] = tid
+                    if v.get("@type") == "@id":
+                        coerce.add(k)
+    # resolve prefixed term-definition values (one pass: JSON-LD term
+    # definitions may reference prefixes defined in the same context)
+    for k, v in out.items():
+        if k.startswith("@") or _is_uri(v) or ":" not in v:
+            continue
+        pfx, rest = v.split(":", 1)
+        base = out.get(pfx)
+        if isinstance(base, str) and _is_uri(base):
+            out[k] = base + rest
+    return out, frozenset(coerce)
 
 
 def _expand_term(term: str, ctx: dict[str, str]) -> str:
@@ -199,9 +235,13 @@ def _emit_value(
     out: list,
     ctx: dict[str, str],
     blanks: "_BlankAllocator",
+    coerce: frozenset[str] = frozenset(),
+    as_id: bool = False,
 ) -> None:
     """One (subj, pred, value) emission — shared by regular values and
-    ``@list`` items (where ``pred`` is ``rdf:first``)."""
+    ``@list`` items (where ``pred`` is ``rdf:first``).  ``as_id`` marks a
+    ``@type: "@id"``-coerced term: its STRING values are node references
+    (resolved against ``@base``), not literals."""
     if isinstance(v, dict):
         if "@list" in v:
             items = v["@list"] if isinstance(v["@list"], list) else [v["@list"]]
@@ -211,7 +251,7 @@ def _emit_value(
             labels = [blanks.next() for _ in items]
             out.append((subj, pred, labels[0], False, graph))
             for i, item in enumerate(items):
-                _emit_value(labels[i], RDF_FIRST, item, graph, out, ctx, blanks)
+                _emit_value(labels[i], RDF_FIRST, item, graph, out, ctx, blanks, coerce, as_id)
                 rest = labels[i + 1] if i + 1 < len(items) else RDF_NIL
                 out.append((labels[i], RDF_REST, rest, False, graph))
         elif "@value" in v:
@@ -221,18 +261,22 @@ def _emit_value(
         elif "@id" in v:
             # named nested node: edge to it + its own triples
             target = _expand_id(str(v["@id"]), ctx)
-            _emit_node(v, graph, out, ctx, blanks)
+            _emit_node(v, graph, out, ctx, blanks, coerce=coerce)
             out.append((subj, pred, target, False, graph))
         else:
             # anonymous nested node → deterministic blank label
             label = blanks.next()
             out.append((subj, pred, label, False, graph))
-            _emit_node(v, graph, out, ctx, blanks, subj=label)
+            _emit_node(v, graph, out, ctx, blanks, subj=label, coerce=coerce)
     elif isinstance(v, (str, int, float, bool)):
+        s = str(v)
+        if as_id and isinstance(v, str):
+            # @type:@id-coerced term: the string is a node reference
+            out.append((subj, pred, _expand_id(s, ctx), False, graph))
+            return
         # plain values are literals unless they're absolute IRIs — context
         # expansion applies to TERMS (keys, @type, @id), never to string
         # values (JSON-LD: untyped strings are literals)
-        s = str(v)
         out.append((subj, pred, s, not (isinstance(v, str) and _is_uri(s)), graph))
 
 
@@ -243,6 +287,7 @@ def _emit_node(
     ctx: dict[str, str],
     blanks: _BlankAllocator | None = None,
     subj: str | None = None,
+    coerce: frozenset[str] = frozenset(),
 ) -> None:
     if subj is None:
         subj = node.get("@id")
@@ -265,7 +310,7 @@ def _emit_node(
                     for rv in rval if isinstance(rval, list) else [rval]:
                         if isinstance(rv, dict) and "@id" in rv:
                             target = _expand_id(str(rv["@id"]), ctx)
-                            _emit_node(rv, graph, out, ctx, blanks)
+                            _emit_node(rv, graph, out, ctx, blanks, coerce=coerce)
                             out.append((target, rpred, subj, False, graph))
                         elif isinstance(rv, str):
                             out.append((_expand_id(rv, ctx), rpred, subj, False, graph))
@@ -273,13 +318,13 @@ def _emit_node(
         pred = _expand_term(key, ctx)
         vals = val if isinstance(val, list) else [val]
         for v in vals:
-            _emit_value(subj, pred, v, graph, out, ctx, blanks)
+            _emit_value(subj, pred, v, graph, out, ctx, blanks, coerce, as_id=key in coerce)
 
 
 def _emit_document(payload: str, src: str, rows: list, validate: bool) -> bool:
     """Parse + expand one JSON-LD block.  Returns False on parse error."""
     try:
-        doc = json.loads(payload)
+        doc = json.loads(strip_wrappers(payload))
     except (ValueError, TypeError):
         return False
     if not isinstance(doc, dict):
@@ -289,11 +334,11 @@ def _emit_document(payload: str, src: str, rows: list, validate: bool) -> bool:
 
         if validate_parsed(doc, HYDRO_LOCATION_SHAPE, GEO_SHAPE):
             return True  # shape-violating documents emit no triples
-    ctx = _parse_context(doc)
+    ctx, coerce = _parse_context(doc)
     nodes = doc.get("@graph")
     for node in nodes if isinstance(nodes, list) else [doc]:
         if isinstance(node, dict):
-            _emit_node(node, src or "", rows, ctx)
+            _emit_node(node, src or "", rows, ctx, coerce=coerce)
     return True
 
 
@@ -348,7 +393,7 @@ def expansion_metrics_batch(batch: pa.Table) -> pa.Table:
             no_block += 1
             continue
         try:
-            json.loads(payload)
+            json.loads(strip_wrappers(payload))
         except (ValueError, TypeError):
             errors += 1
     return pa.table(

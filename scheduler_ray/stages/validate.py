@@ -138,6 +138,28 @@ GEO_SHAPE: tuple[PropertyShape, ...] = tuple(
 )
 
 
+#: (prefix, suffix) wrapper pairs seen in the wild around ld+json content
+#: (round-3 verdict item 10): CDATA — plain or JS-comment-guarded — and
+#: HTML comments.  Extraction stays byte-identical (the wrapper bytes ARE
+#: part of the extracted block); every parser of extracted bytes strips
+#: one recognized wrapper first (expansion + validation share this).
+_WRAPPERS: tuple[tuple[str, str], ...] = (
+    ("/*<![CDATA[*/", "/*]]>*/"),
+    ("<![CDATA[", "]]>"),
+    ("<!--", "-->"),
+)
+
+
+def strip_wrappers(payload: str) -> str:
+    """Strip one CDATA / HTML-comment wrapper (with surrounding
+    whitespace) from an extracted ld+json block, if present."""
+    t = payload.strip()
+    for pre, suf in _WRAPPERS:
+        if t.startswith(pre) and t.endswith(suf) and len(t) >= len(pre) + len(suf):
+            return t[len(pre) : len(t) - len(suf)]
+    return payload
+
+
 def validate_doc(
     payload: str | None,
     shapes=HYDRO_LOCATION_SHAPE,
@@ -150,7 +172,7 @@ def validate_doc(
     if payload is None:
         return ["no-document"]
     try:
-        doc = json.loads(payload)
+        doc = json.loads(strip_wrappers(payload))
     except (ValueError, TypeError):
         return ["parse-error"]
     return validate_parsed(doc, shapes, geo_shapes, warnings)

@@ -55,16 +55,28 @@ def test_pages_deterministic_and_ascii_embed():
     p2 = pages_from_documents(DOCS.copy())
     pd.testing.assert_frame_equal(p1, p2)
     # the ld+json block is embedded byte-identically, inside the page's
-    # doc_id%5 script-tag variant
-    from scheduler_ray.corpus import SCRIPT_CLOSE_VARIANTS, SCRIPT_OPEN_VARIANTS
+    # doc_id%7 script-tag variant (5-6 wrap the content in CDATA / comment)
+    from scheduler_ray.corpus import (
+        SCRIPT_CLOSE_VARIANTS,
+        SCRIPT_OPEN_VARIANTS,
+        WRAP_PRE_VARIANTS,
+        WRAP_SUF_VARIANTS,
+    )
 
     j = jsonld_for_documents(DOCS)
-    for did, suffix in [(2, "/items/2"), (1, "/items/1"), (3, "/items/3")]:
+    for did, suffix in [(2, "/items/2"), (1, "/items/1"), (19, "/items/19"), (20, "/items/20")]:
         row = p1[p1["url"].str.endswith(suffix)].iloc[0]
         payload = j[DOCS.index[DOCS["doc_id"] == did][0]]
-        vi = did % 5
-        block = SCRIPT_OPEN_VARIANTS[vi] + payload + SCRIPT_CLOSE_VARIANTS[vi]
+        vi = did % 7
+        block = (
+            SCRIPT_OPEN_VARIANTS[vi]
+            + WRAP_PRE_VARIANTS[vi]
+            + payload
+            + WRAP_SUF_VARIANTS[vi]
+            + SCRIPT_CLOSE_VARIANTS[vi]
+        )
         assert block.encode() in row["html"]
+    assert WRAP_PRE_VARIANTS[5] == "/*<![CDATA[*/" and WRAP_SUF_VARIANTS[6] == "-->"
 
 
 def test_registry_and_sources():
