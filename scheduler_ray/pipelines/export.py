@@ -51,33 +51,39 @@ def _pivot_partial(b: pd.DataFrame) -> pd.DataFrame:
     (do NOT run it over pred-partitioned files).
     """
     b = b[b["pred"].isin(_FIELD_PREDS) | b["pred"].isin(_GEO_PREDS)]
-    blank_parent: dict = {}
-    for subj, pred, obj in zip(b["subj"], b["pred"], b["obj"]):
-        if pred in _GEO_PREDS:
-            blank_parent[obj] = subj
-    rows: dict[tuple, dict] = {}
-    for subj, pred, obj, graph in zip(b["subj"], b["pred"], b["obj"], b["graph"]):
-        if pred in _GEO_PREDS:
-            rows.setdefault(subj, {"id": subj, "geoconnex_sitemap": graph})
-            continue
-        if subj.startswith("_:"):
-            # coordinate row on a blank node → credit the parent feature
-            parent = blank_parent.get(subj)
-            if parent is None:
-                continue  # orphan blank (parent in another batch) — skip
-            r = rows.setdefault(parent, {"id": parent, "geoconnex_sitemap": graph})
-        else:
-            r = rows.setdefault(subj, {"id": subj, "geoconnex_sitemap": graph})
-        if pred in _FIELD_PREDS:
-            r[_FIELD_PREDS[pred]] = obj
-    out = pd.DataFrame(list(rows.values()))
-    for col in ("id", "geoconnex_sitemap", "feature_name", "feature_description",
-                "lat_milli", "lon_milli"):
+    cols = ["id", "geoconnex_sitemap", "feature_name", "feature_description",
+            "lat_milli", "lon_milli"]
+    if b.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    # vectorized assembly (round-3 verdict item 8 — this was a per-row
+    # dict loop): blank→parent via a keep-last map, owner resolution via
+    # Series.map, field pivot via groupby().last().unstack()
+    is_geo = b["pred"].isin(_GEO_PREDS)
+    parent = b[is_geo].drop_duplicates("obj", keep="last").set_index("obj")["subj"]
+    is_blank = b["subj"].str.startswith("_:")
+    owner = b["subj"].where(~is_blank, b["subj"].map(parent))
+    b2 = b.assign(owner=owner)
+    b2 = b2[b2["owner"].notna()]  # orphan blanks (parent in another batch)
+    # first-encountered graph per owner (same as the old setdefault)
+    base = (
+        b2.drop_duplicates("owner")[["owner", "graph"]]
+        .rename(columns={"owner": "id", "graph": "geoconnex_sitemap"})
+    )
+    fields = b2[~b2["pred"].isin(_GEO_PREDS)]
+    if fields.empty:
+        piv = pd.DataFrame(index=pd.Index([], name="owner"))
+    else:
+        piv = (
+            fields.assign(field=fields["pred"].map(_FIELD_PREDS))
+            .groupby(["owner", "field"], sort=False)["obj"]
+            .last()  # overwrite-wins, like the old dict assignment
+            .unstack("field")
+        )
+    out = base.merge(piv, left_on="id", right_index=True, how="left")
+    for col in cols:
         if col not in out:
-            out[col] = pd.Series([], dtype=object) if out.empty else None
-    return out[
-        ["id", "geoconnex_sitemap", "feature_name", "feature_description", "lat_milli", "lon_milli"]
-    ]
+            out[col] = None
+    return out[cols]
 
 
 def wkb_point(x: float, y: float) -> bytes:

@@ -816,10 +816,25 @@ FROM documents WHERE {VALID}
 """
 
 
+def _registry_broadcast(docs, columns: list) -> pd.DataFrame:
+    """Broadcast-side registry columns, derived DISTRIBUTED (round-3
+    verdict item 5): each batch computes its registry partial inside
+    ``map_batches`` and projects to ``columns``; the driver only
+    concatenates the narrow result — exactly the frame that gets
+    ``ray.put`` as the join's broadcast side, nothing wider.  (In this
+    harness the "registry" is deliberately corpus-derived; a production
+    registry is a separate small table read directly.)"""
+    from ..corpus import registry_from_documents
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return registry_from_documents(b)[columns]
+
+    return docs.map_batches(derive, batch_format="pandas").to_pandas()
+
+
 def q_spatial_join(sf_dir: str):
     """bbox containment join (J1's spatial flavor): each document's point
     probes the broadcast grid-bucketed registry bboxes."""
-    from ..corpus import registry_from_documents
     from ..stages.spatial import bbox_contains_join
 
     # the registry derivation needs only 3 narrow columns — never pull
@@ -836,8 +851,10 @@ def q_spatial_join(sf_dir: str):
         )
 
     points = docs.map_batches(to_points, batch_format="pandas")
-    boxes = registry_from_documents(docs.to_pandas())
-    out = bbox_contains_join(points, boxes[["id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"]])
+    boxes = _registry_broadcast(
+        docs, ["id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"]
+    )
+    out = bbox_contains_join(points, boxes)
     return out.select_columns(["doc_id", "box_id"])
 
 
@@ -861,7 +878,6 @@ def q_polygon_join(sf_dir: str):
     PolygonStore).  The rings are built so that the containment predicate
     is, in integer milli-units, 14|dxm| + 18|dym| ≤ 63 (even vs odd ⇒ no
     boundary cases), which the DuckDB oracle evaluates exactly."""
-    from ..corpus import registry_from_documents
     from ..stages.spatial import polygon_contains_join
 
     # narrow broadcast-side read (see q_spatial_join)
@@ -877,8 +893,8 @@ def q_polygon_join(sf_dir: str):
         )
 
     points = docs.map_batches(to_points, batch_format="pandas")
-    polys = registry_from_documents(docs.to_pandas())
-    out = polygon_contains_join(points, polys[["id", "ring_wkb"]])
+    polys = _registry_broadcast(docs, ["id", "ring_wkb"])
+    out = polygon_contains_join(points, polys)
     return out.select_columns(["doc_id", "poly_id"])
 
 

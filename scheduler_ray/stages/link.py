@@ -373,31 +373,40 @@ def link_triples_batch(
     import pyarrow.compute as pc
 
     is_name = pc.is_in(batch["pred"], value_set=pa.array(NAME_PREDS, pa.large_string()))
-    if pc.sum(pc.cast(is_name, pa.int64())).as_py() == 0:
+    if not pc.any(is_name).as_py():
         return batch
     names_t = batch.filter(is_name)
-    graphs = names_t["graph"].to_pylist()
-    enabled = np.array([mainstems_enabled.get(g, False) for g in graphs], bool)
-    if not enabled.any():
+    # graph-enablement gate as a vectorized set membership (the enabled
+    # set is small — one entry per source)
+    enabled_graphs = pa.array(
+        sorted(g for g, on in mainstems_enabled.items() if on), pa.large_string()
+    )
+    enabled = pc.is_in(names_t["graph"], value_set=enabled_graphs)
+    if not pc.any(enabled).as_py():
         return batch
-    sub = names_t.filter(pa.array(enabled))
-    names = pd.Series(sub["obj"].to_pylist())
+    sub = names_t.filter(enabled)
+    names = pd.Series(sub["obj"].to_numpy(zero_copy_only=False))
     pts = _subject_points(batch)
-    subj_list = sub["subj"].to_pylist()
-    points = [pts.get(s) for s in subj_list]
+    # one dict probe per NAME row (≈1 per document — bounded); the linker
+    # kernel itself is vectorized numpy
+    points = [pts.get(s) for s in sub["subj"].to_numpy(zero_copy_only=False)]
     matched, _pids, mainstems = index.link_spatial_batch(names, points)
-    subjs = sub["subj"].to_pylist()
-    sub_graphs = sub["graph"].to_pylist()
-    new = [
-        (subjs[i], LINEAR_ELEMENT, mainstems[i], False, sub_graphs[i])
-        for i in np.flatnonzero(matched)
-        if mainstems[i] is not None
-    ]
-    if not new:
+    # Arrow-native assembly (round-3 verdict item 8): matched rows with a
+    # mainstem become link triples via filter/take — no per-row tuple list
+    ms = pa.array(mainstems, pa.large_string())
+    keep = pc.and_(pa.array(matched), ms.is_valid())
+    if not pc.any(keep).as_py():
         return batch
-    cols = list(zip(*new))
+    sel = sub.filter(keep).cast(TRIPLE_SCHEMA)
+    n = sel.num_rows
     extra = pa.Table.from_arrays(
-        [pa.array(c, type=f.type) for c, f in zip(cols, TRIPLE_SCHEMA)],
+        [
+            sel["subj"].combine_chunks(),
+            pa.array([LINEAR_ELEMENT] * n, pa.large_string()),
+            ms.filter(keep),
+            pa.array(np.zeros(n, bool)),
+            sel["graph"].combine_chunks(),
+        ],
         schema=TRIPLE_SCHEMA,
     )
     return pa.concat_tables([batch.cast(TRIPLE_SCHEMA), extra])
