@@ -42,6 +42,11 @@ triples the reference asserts (reference: userCode/defs_test.py:75-80,
 * ``doc_id % 7``  selects the script-tag variant
   (corpus.SCRIPT_OPEN/CLOSE_VARIANTS); variants 5-6 wrap block content in
   CDATA / HTML-comment wrappers (corpus.WRAP_*_VARIANTS, round-4).
+* ``doc_id % 37 == 0`` → schema:name is a TWO-element list (violates the
+  shape's ``sh:maxCount 1``); else ``doc_id % 41 == 0`` → a lowercase
+  ``feature ...`` label (violates ``sh:not`` / ``sh:xone``) — both classes
+  fail SHACL conformance, so the validate-during-expand gate drops their
+  main-block triples (round-4; see oracles.CONFORMS / _name_json).
 
 All html/JSON text is pure ASCII so byte lengths equal character counts.
 """
@@ -150,11 +155,35 @@ def _vec(df: pd.DataFrame) -> dict[str, pd.Series]:
     }
 
 
-def _node(subj: pd.Series, v: dict[str, pd.Series], same_as: pd.Series | None) -> pd.Series:
+def _name_json(v: dict[str, pd.Series]) -> pd.Series:
+    """The JSON value of ``schema:name`` per document (round-4 SHACL
+    rules — quotes/brackets included):
+
+    * ``doc_id % 37 == 0`` → a TWO-element name list (violates the
+      shape's ``sh:maxCount 1``);
+    * else ``doc_id % 41 == 0`` → a lowercase ``"feature <id>"`` label
+      (violates ``sh:not`` ^feature and matches neither ``sh:xone``
+      naming scheme);
+    * else the conforming ``"Feature <id>"``.
+    """
+    did = v["doc_id"]
+    d = v["d"]
+    single = '"' + v["name"] + '"'
+    double = '["Feature ' + d + '","Feature ' + d + ' (alt)"]'
+    lower = '"feature ' + d + '"'
+    return single.where(did % 41 != 0, lower).where(did % 37 != 0, double)
+
+
+def _node(
+    subj: pd.Series,
+    v: dict[str, pd.Series],
+    same_as: pd.Series | None,
+    name_json: pd.Series,
+) -> pd.Series:
     body = (
         '{"@id":"' + subj + '","@type":"hyf:HY_HydroLocation"'
-        ',"schema:name":"' + v["name"] + '"'
-        ',"schema:description":"' + v["desc"] + '"'
+        ',"schema:name":' + name_json
+        + ',"schema:description":"' + v["desc"] + '"'
         ',"schema:geo":{"schema:latitude":' + v["lat"]
         + ',"schema:longitude":' + v["lon"] + "}"
     )
@@ -173,11 +202,13 @@ def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
     v = _vec(df)
     did = v["doc_id"]
     ctx = pd.Series(np.where(did % 13 == 0, CONTEXT_JSON, ""), index=df.index)
-    case_a = "{" + ctx + _node(v["pid"], v, None).str.slice(1)
-    case_b = "{" + ctx + _node(v["prov"], v, v["pid"]).str.slice(1)
+    name_json = _name_json(v)
+    case_a = "{" + ctx + _node(v["pid"], v, None, name_json).str.slice(1)
+    case_b = "{" + ctx + _node(v["prov"], v, v["pid"], name_json).str.slice(1)
     chain_edge = '{"@id":"' + v["prov"] + '","owl:sameAs":"' + v["pid"] + '"}'
     case_c = (
-        "{" + ctx + '"@graph":[' + _node(v["alias"], v, v["prov"]) + "," + chain_edge + "]}"
+        "{" + ctx + '"@graph":['
+        + _node(v["alias"], v, v["prov"], name_json) + "," + chain_edge + "]}"
     )
 
     out = case_a.where(did % 2 == 1, case_b)

@@ -39,6 +39,12 @@ MAINSTEM = (
     "CAST((doc_id*7) % 50000 AS VARCHAR)"
 )
 VALID = "(doc_id % 17 <> 0 AND doc_id % 19 <> 0)"
+#: SHACL conformance (round-4 verdict item 9): ``doc_id%37==0`` documents
+#: carry a TWO-element schema:name list (violates ``sh:maxCount 1``) and
+#: ``doc_id%41==0`` ones a lowercase ``feature ...`` label (violates
+#: ``sh:not`` and matches neither ``sh:xone`` naming scheme) — the
+#: validate-during-expand gate drops their main-block triples entirely.
+CONFORMS = f"({VALID} AND doc_id % 37 <> 0 AND doc_id % 41 <> 0)"
 SRC_NUM = "CAST(SUBSTR(source, 4) AS INT)"
 MAINSTEMS_ENABLED = f"(({SRC_NUM}) % 4 <> 3)"
 HAS_MAINSTEM = "(doc_id % 3 = 0)"
@@ -107,11 +113,20 @@ def _blank(subj: str) -> str:
     return f"'_:' || {subj} || '#b0'"
 
 
+#: the JSON value of schema:name — quotes/brackets included (mirrors
+#: corpus._name_json; %37 takes precedence over %41)
+NAME_JSON = (
+    f"CASE WHEN doc_id % 37 = 0 THEN '[\"Feature ' || {D} || '\",\"Feature ' || {D} || ' (alt)\"]' "
+    f"WHEN doc_id % 41 = 0 THEN '\"feature ' || {D} || '\"' "
+    f"ELSE '\"Feature ' || {D} || '\"' END"
+)
+
+
 def _node_sql(subj: str, sameas: str | None) -> str:
     """The inner (post-'{') JSON bytes of one feature node."""
     parts = [
         "'\"@id\":\"' || " + subj + " || '\",\"@type\":\"hyf:HY_HydroLocation\"'",
-        "',\"schema:name\":\"' || " + NAME + " || '\"'",
+        "',\"schema:name\":' || (" + NAME_JSON + ")",
         "',\"schema:description\":\"' || " + DESC + " || '\"'",
         "',\"schema:geo\":{\"schema:latitude\":' || " + LAT + " || ',\"schema:longitude\":' || " + LON + " || '}'",
     ]
@@ -265,38 +280,46 @@ _MULTI_ROWS = [
 ]
 
 #: raw triples = payload at raw subject (+ blank geo node) + sameAs edges
-#: + second-block literals + linker triples
+#: + second-block literals + linker triples.  The main block is gated on
+#: CONFORMS (validation rides on expansion); the extra blocks (2-4) are
+#: not validated and stay VALID-gated.
 RAW_TRIPLES_SQL = _triples_union(
-    _with_where(_payload_rows(RAW_SUBJ, RAW_SUBJ), VALID)
+    _with_where(_payload_rows(RAW_SUBJ, RAW_SUBJ), CONFORMS)
     + [
         # case B 1-hop sameAs
-        (PROV, "'owl:sameAs'", PID, "FALSE", f"{VALID} AND doc_id % 2 = 0 AND doc_id % 10 <> 0"),
-        # case C 2-hop chain
-        (ALIAS, "'owl:sameAs'", PROV, "FALSE", f"{VALID} AND doc_id % 10 = 0"),
-        (PROV, "'owl:sameAs'", PID, "FALSE", f"{VALID} AND doc_id % 10 = 0"),
+        (PROV, "'owl:sameAs'", PID, "FALSE", f"{CONFORMS} AND doc_id % 2 = 0 AND doc_id % 10 <> 0"),
+        # case C 2-hop chain (the chain edge shares the main block, so a
+        # non-conforming doc drops it too)
+        (ALIAS, "'owl:sameAs'", PROV, "FALSE", f"{CONFORMS} AND doc_id % 10 = 0"),
+        (PROV, "'owl:sameAs'", PID, "FALSE", f"{CONFORMS} AND doc_id % 10 = 0"),
         # second-block typed/lang literals at the raw subject
         *[(RAW_SUBJ, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
         # third-block completeness triples (@base/@list/@reverse)
         *EXTRA29_ROWS,
         # fourth-block dict-valued-@context triples (round-4)
         *EXTRA31_ROWS,
-        # linker emission at raw subject
+        # linker emission at raw subject (linker sees conforming docs only)
         (
             RAW_SUBJ,
             "'hyf:linearElement'",
             MAINSTEM,
             "FALSE",
-            f"{VALID} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
+            f"{CONFORMS} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
         ),
     ]
 )
 
+#: second-block subject in the CANONICAL graph: the sameAs rewrite only
+#: happens when the main block survived validation (its edges carry the
+#: alias→PID mapping); for non-conforming docs the raw subject stays.
+CANON_MULTI_SUBJ = f"CASE WHEN {CONFORMS} THEN {PID} ELSE {RAW_SUBJ} END"
+
 #: canonical = payload at PID (blank labels keep the RAW root), sameAs
 #: dropped, second-block literals + linker triple at PID
 CANONICAL_TRIPLES_SQL = _triples_union(
-    _with_where(_payload_rows(PID, RAW_SUBJ), VALID)
+    _with_where(_payload_rows(PID, RAW_SUBJ), CONFORMS)
     + [
-        *[(PID, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
+        *[(CANON_MULTI_SUBJ, p, o, lit, MULTI) for p, o, lit in _MULTI_ROWS],
         # third/fourth-block subjects carry no sameAs — canonical unchanged
         *EXTRA29_ROWS,
         *EXTRA31_ROWS,
@@ -305,7 +328,7 @@ CANONICAL_TRIPLES_SQL = _triples_union(
             "'hyf:linearElement'",
             MAINSTEM,
             "FALSE",
-            f"{VALID} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
+            f"{CONFORMS} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}",
         ),
     ]
 )
@@ -326,5 +349,5 @@ MERGE_DEDUP_SQL = (
 
 ENTITY_LINK_SQL = (
     f"SELECT {PID} AS subj, {MAINSTEM} AS mainstem_uri FROM documents "
-    f"WHERE {VALID} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}"
+    f"WHERE {CONFORMS} AND {HAS_MAINSTEM} AND {MAINSTEMS_ENABLED}"
 )

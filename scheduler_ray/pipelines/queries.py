@@ -776,12 +776,11 @@ def q_kg_validate(sf_dir: str):
 
 
 def sql_kg_validate() -> str:
-    from ..oracles import URL
+    from ..oracles import CONFORMS, URL
 
-    return (
-        f"SELECT {URL} AS url, "
-        "(doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS valid FROM documents"
-    )
+    # valid ⇔ block present, parseable AND shape-conformant (round-4:
+    # %37 two-name maxCount, %41 lowercase not/xone — oracles.CONFORMS)
+    return f"SELECT {URL} AS url, {CONFORMS} AS valid FROM documents"
 
 
 # ------------------------------------------------- exports / spatial / mm
@@ -803,8 +802,10 @@ def q_feature_table(sf_dir: str):
 
 
 def sql_feature_table() -> str:
-    from ..oracles import DESC, LAT, LON, NAME, PID, VALID
+    from ..oracles import CONFORMS, DESC, LAT, LON, NAME, PID
 
+    # non-conforming docs (oracles.CONFORMS) have no canonical payload
+    # rows, so they never reach the pivot
     return f"""
 SELECT {PID} AS id, source AS geoconnex_sitemap, {NAME} AS feature_name,
        {DESC} AS feature_description,
@@ -812,7 +813,7 @@ SELECT {PID} AS id, source AS geoconnex_sitemap, {NAME} AS feature_name,
        CAST({LAT} AS DOUBLE) / 1000.0 AS bbox_ymin,
        CAST({LON} AS DOUBLE) / 1000.0 AS bbox_xmax,
        CAST({LAT} AS DOUBLE) / 1000.0 AS bbox_ymax
-FROM documents WHERE {VALID}
+FROM documents WHERE {CONFORMS}
 """
 
 

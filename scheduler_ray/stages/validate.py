@@ -20,7 +20,10 @@ shapes applied to object values), ``sh:or`` (alternative constraint
 sets, satisfied if ANY alternative passes) and ``sh:severity``
 (``sh:Warning``/``sh:Info`` findings are reported in a separate
 ``warnings`` column and do NOT gate validity; only ``sh:Violation``
-does, matching SHACL conformance semantics).
+does, matching SHACL conformance semantics) — and, since round 4,
+``sh:minCount``>1 / ``sh:maxCount`` (value-node cardinality), ``sh:not``
+(a value must NOT satisfy the negated constraint set) and ``sh:xone``
+(EXACTLY one alternative must be satisfied).
 """
 
 from __future__ import annotations
@@ -45,22 +48,48 @@ class PropertyShape:
     class_type: str | None = None  # sh:class — value node's @type
     node: "tuple[PropertyShape, ...] | None" = None  # sh:node — nested shapes
     alternatives: "tuple[PropertyShape, ...] | None" = None  # sh:or
+    min_count: int = 0  # sh:minCount — value cardinality lower bound
+    max_count: int | None = None  # sh:maxCount — cardinality upper bound
+    negated: "PropertyShape | None" = None  # sh:not — value must NOT satisfy
+    exactly_one: "tuple[PropertyShape, ...] | None" = None  # sh:xone
     severity: str = "Violation"  # sh:severity — only Violation gates validity
     _rx: re.Pattern | None = field(default=None, repr=False)
 
     def compile(self) -> "PropertyShape":
         if self.pattern:
             self._rx = re.compile(self.pattern)
+        for nested in (self.node, self.alternatives, self.exactly_one):
+            for s in nested or ():
+                s.compile()
+        if self.negated is not None:
+            self.negated.compile()
         return self
 
     def check(self, node: dict, out: list[str], warn: list[str] | None = None) -> None:
         sink = out if self.severity == "Violation" else (warn if warn is not None else [])
         if self.path not in node:
-            if self.required:
+            if self.required or self.min_count >= 1:
                 sink.append(f"missing:{self.path}")
             return
         vals = node[self.path]
-        for v in vals if isinstance(vals, list) else [vals]:
+        vlist = vals if isinstance(vals, list) else [vals]
+        # sh:minCount > 1 / sh:maxCount — cardinality over the value list
+        # (SHACL counts value nodes; a present scalar counts 1)
+        if self.min_count > 1 and len(vlist) < self.min_count:
+            sink.append(f"mincount:{self.path}")
+        if self.max_count is not None and len(vlist) > self.max_count:
+            sink.append(f"maxcount:{self.path}")
+        for v in vlist:
+            if self.negated is not None and not self._alt_violations(self.negated, v):
+                # sh:not — the value satisfies the negated constraint set
+                sink.append(f"not:{self.path}")
+            if self.exactly_one:
+                # sh:xone — EXACTLY one alternative must be satisfied
+                hits = sum(
+                    1 for alt in self.exactly_one if not self._alt_violations(alt, v)
+                )
+                if hits != 1:
+                    sink.append(f"xone:{self.path}")
             if self.alternatives:
                 # sh:or — the value must satisfy at least one alternative
                 if not any(
@@ -121,7 +150,22 @@ HYDRO_LOCATION_SHAPE: tuple[PropertyShape, ...] = tuple(
     for s in [
         PropertyShape("@id", required=True, datatype="uri"),
         PropertyShape("@type", required=True),
-        PropertyShape("schema:name", required=True, datatype="string"),
+        # round-4: the name property carries the full cardinality /
+        # combinator subset — sh:maxCount 1 (a two-name document is
+        # non-conforming), sh:not (a lowercase 'feature ...' label is a
+        # known bad-harvest artifact), sh:xone (the label must match
+        # EXACTLY one of the two sanctioned naming schemes)
+        PropertyShape(
+            "schema:name",
+            required=True,
+            datatype="string",
+            max_count=1,
+            negated=PropertyShape("schema:name", pattern=r"^feature "),
+            exactly_one=(
+                PropertyShape("schema:name", pattern=r"^Feature "),
+                PropertyShape("schema:name", pattern=r"^Fluss "),
+            ),
+        ),
         PropertyShape("schema:description", datatype="string"),
         PropertyShape("owl:sameAs", datatype="uri"),
     ]
@@ -238,26 +282,38 @@ def _shacl_prop_to_shape(p: dict) -> PropertyShape:
             for q in (props if isinstance(props, list) else [props])
             if isinstance(q, dict) and q.get("sh:path")
         ) or None
-    # sh:or — list of alternative constraint dicts (same path implied)
-    alts = None
-    ors = p.get("sh:or")
-    if isinstance(ors, dict) and "@list" in ors:
-        ors = ors["@list"]
-    if isinstance(ors, list):
-        alts = tuple(
+    # sh:or / sh:xone — lists of alternative constraint dicts (same path
+    # implied); sh:not — a single negated constraint dict
+    def _alt_list(key: str):
+        raw = p.get(key)
+        if isinstance(raw, dict) and "@list" in raw:
+            raw = raw["@list"]
+        if not isinstance(raw, list):
+            return None
+        return tuple(
             _shacl_prop_to_shape({**a, "sh:path": p.get("sh:path", "")})
-            for a in ors
+            for a in raw
             if isinstance(a, dict)
         ) or None
+
+    alts = _alt_list("sh:or")
+    xone = _alt_list("sh:xone")
+    neg = p.get("sh:not")
+    negated = (
+        _shacl_prop_to_shape({**neg, "sh:path": p.get("sh:path", "")})
+        if isinstance(neg, dict)
+        else None
+    )
     sev = str(p.get("sh:severity", "sh:Violation"))
     severity = "Violation"
     if "Warning" in sev:
         severity = "Warning"
     elif "Info" in sev:
         severity = "Info"
+    mn = int(p.get("sh:minCount", 0) or 0)
     return PropertyShape(
         path=str(p.get("sh:path", "")),
-        required=int(p.get("sh:minCount", 0) or 0) >= 1,
+        required=mn >= 1,
         datatype=dt,
         pattern=p.get("sh:pattern"),
         min_value=p.get("sh:minInclusive"),
@@ -265,6 +321,10 @@ def _shacl_prop_to_shape(p: dict) -> PropertyShape:
         class_type=(str(p["sh:class"]) if "sh:class" in p else None),
         node=nested,
         alternatives=alts,
+        min_count=mn,
+        max_count=(int(p["sh:maxCount"]) if "sh:maxCount" in p else None),
+        negated=negated,
+        exactly_one=xone,
         severity=severity,
     ).compile()
 

@@ -26,7 +26,7 @@ def test_run_resume_skips_completed(fixture_sf0001, tmp_out):
     r1 = cp.run_checkpointed(fixture_sf0001, out)
     assert len(r1["completed"]) == 20 and not r1["skipped"]
     total1 = cp.read_output(out).count()
-    assert total1 == 2980
+    assert total1 == 2824
     # manifests carry lineage metrics
     m = mf.load_manifest(out, r1["completed"][0])
     assert m["rows_in"] > 0 and "content_hash" in m and "input_hash" in m
@@ -69,7 +69,7 @@ def test_nq_writer_deterministic(fixture_sf0001, tmp_out):
     canon = flagship.run_flagship(fixture_sf0001).materialize()
     s1 = nq.write_release_graphs(canon, os.path.join(tmp_out, "r1"))
     s2 = nq.write_release_graphs(canon, os.path.join(tmp_out, "r2"))
-    assert s1["n_quads"].sum() == 2980
+    assert s1["n_quads"].sum() == 2824
     assert list(s1["source"]) == list(s2["source"])
     # byte-identical gzip across runs (mtime pinned) — bytesum analogue
     p1, p2 = s1["path"].iloc[0], s2["path"].iloc[0]

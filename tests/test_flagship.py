@@ -69,7 +69,7 @@ def test_sorted_partitioned_write(fixture_sf0001, tmp_out):
     out = flagship.run_flagship(fixture_sf0001, out_dir=tmp_out)
     df = out.to_pandas()
     assert set(df.columns) >= {"subj", "obj", "obj_is_literal", "graph", "pred"}
-    assert len(df) == 2980
+    assert len(df) == 2824
 
 
 def test_global_sort_mode_total_order(fixture_sf0001, tmp_out):
@@ -103,7 +103,7 @@ def test_global_sort_mode_total_order(fixture_sf0001, tmp_out):
     spans.sort()
     for (_, prev_end), (cur_start, _) in zip(spans, spans[1:]):
         assert cur_start >= prev_end, (prev_end, cur_start)
-    assert n == 2980
+    assert n == 2824
 
 
 def test_distributed_connected_components():

@@ -178,14 +178,21 @@ def test_topk():
 
 
 def test_validate_doc_shapes():
-    good = '{"@id":"https://pids.geoconnex.dev/x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":5,"schema:longitude":6}}'
+    good = '{"@id":"https://pids.geoconnex.dev/x/1","@type":"t","schema:name":"Feature 1","schema:geo":{"schema:latitude":5,"schema:longitude":6}}'
     assert validate_doc(good) == []
     assert validate_doc(None) == ["no-document"]
     assert validate_doc("{bad") == ["parse-error"]
     missing = '{"@id":"https://x/1","@type":"t"}'
     assert "missing:schema:name" in validate_doc(missing)
-    bad_lat = '{"@id":"https://x/1","@type":"t","schema:name":"N","schema:geo":{"schema:latitude":99999999,"schema:longitude":0}}'
+    bad_lat = '{"@id":"https://x/1","@type":"t","schema:name":"Feature 1","schema:geo":{"schema:latitude":99999999,"schema:longitude":0}}'
     assert "max:schema:latitude" in validate_doc(bad_lat)
+    # round-4 cardinality / combinator subset on schema:name
+    two_names = '{"@id":"https://x/1","@type":"t","schema:name":["Feature 1","Feature 1 (alt)"]}'
+    assert validate_doc(two_names) == ["maxcount:schema:name"]
+    lower = '{"@id":"https://x/1","@type":"t","schema:name":"feature 1"}'
+    assert validate_doc(lower) == ["not:schema:name", "xone:schema:name"]
+    fluss = '{"@id":"https://x/1","@type":"t","schema:name":"Fluss 1"}'
+    assert validate_doc(fluss) == []
 
 
 def test_media_metadata_and_decoder():
@@ -252,7 +259,7 @@ def test_feature_table_pivot(fixture_sf0001):
 
     canon = flagship.run_flagship(fixture_sf0001)
     feats = ex.feature_table(canon).to_pandas()
-    assert len(feats) == 445  # one row per valid subject
+    assert len(feats) == 420  # one row per conforming subject
     row = feats[feats["id"] == "https://pids.geoconnex.dev/src1/1"].iloc[0]
     assert row["feature_name"] == "Feature 1"
     assert row["bbox_ymin"] == ((1 * 37) % 180000 - 90000) / 1000.0
@@ -280,7 +287,7 @@ def test_validate_stage_actor_mode(fixture_sf0001):
 
     ex = extract_stage(flagship.read_pages(fixture_sf0001))
     out = validate_stage(ex, concurrency=(1, 2)).to_pandas()
-    assert out["valid"].sum() == 445  # = parseable, shape-conforming docs
+    assert out["valid"].sum() == 420  # = parseable, shape-conforming docs
 
 
 def test_geoparquet_write_and_check(tmp_out):

@@ -34,7 +34,7 @@ def test_single_pass_matches_two_pass(fixture_sf0001, tmp_out):
     two = flagship.run_flagship(
         fixture_sf0001, out_dir=two_dir, cfg=PipelineConfig(single_pass=False)
     ).to_pandas()
-    assert len(one) == len(two) == 2980
+    assert len(one) == len(two) == 2824
     assert _tripleset(one) == _tripleset(two)
     assert list(one.columns) == [f.name for f in TRIPLE_SCHEMA]
 
