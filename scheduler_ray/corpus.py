@@ -332,7 +332,7 @@ def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
     ``mainstem_uri`` is the flattened stand-in for the FlatGeobuf spatial
     join; present iff doc_id % 3 == 0.
     """
-    from .stages.spatial import wkb_polygons
+    from .stages.spatial import wkb_polygons, wkb_polylines
 
     v = _vec(df)
     did = v["doc_id"]
@@ -350,6 +350,14 @@ def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
     rx, ry = 0.0045, 0.0035
     vx = np.stack([cx - rx, cx, cx + rx, cx, cx - rx], axis=1)
     vy = np.stack([cy, cy + ry, cy, cy - ry, cy], axis=1)
+    # flowline geometry per mainstem-bearing row (round-4 verdict item 6):
+    # a 3-vertex polyline passing EXACTLY through the feature point
+    # (px, py), so the nearest-flowline association resolves to the row's
+    # own mainstem at distance 0 — geometry-true mechanism, attribute-
+    # equal result (the SQL oracle stays expressible).
+    lvx = np.stack([px - 0.004, px, px + 0.004], axis=1)
+    lvy = np.stack([py - 0.002, py, py + 0.002], axis=1)
+    flowline = pd.Series(wkb_polylines(lvx, lvy), index=df.index)
     return pd.DataFrame(
         {
             "id": v["pid"],
@@ -362,6 +370,7 @@ def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
             "bbox_ymax": ymin + 0.01,
             "ring_wkb": wkb_polygons(vx, vy),
             "mainstem_uri": v["mainstem"].where(did % 3 == 0, None),
+            "flowline_wkb": flowline.where(did % 3 == 0, None),
         }
     )
 

@@ -52,8 +52,8 @@ LAT_PREDS = ("schema:latitude", "https://schema.org/latitude")
 LON_PREDS = ("schema:longitude", "https://schema.org/longitude")
 
 #: cache file name for the pickled registry index — versioned so older
-#: caches (without the polygon geometry) are never reused
-INDEX_CACHE_NAME = "registry_index_v3.pkl"
+#: caches (without the polygon/flowline geometry) are never reused
+INDEX_CACHE_NAME = "registry_index_v4.pkl"
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -127,6 +127,26 @@ class RegistryIndex:
             from .spatial import GridBBoxIndex
 
             self.spatial = GridBBoxIndex(registry, id_col="id")
+        # nearest-flowline index (round-4 verdict item 6): the mainstem
+        # association is resolved GEOMETRICALLY — the feature point's
+        # nearest flowline (grid-pruned candidates + exact point-to-
+        # segment distances) wins over the matched row's attribute; the
+        # attribute remains the fallback for rows without nearby
+        # flowline geometry (reference defs_test.py:75-80,120-127).
+        self.flowlines = None
+        self.flowline_uris: np.ndarray | None = None
+        if "flowline_wkb" in registry.columns:
+            fl = registry["flowline_wkb"].notna().to_numpy()
+            if fl.any():
+                from .spatial import GridPolylineIndex
+
+                rows = np.flatnonzero(fl)
+                self.flowlines = GridPolylineIndex(
+                    rows, registry["flowline_wkb"].to_numpy(object)[rows]
+                )
+                self.flowline_uris = (
+                    registry["mainstem_uri"].to_numpy(object)[rows]
+                )
 
     def link_spatial_batch(
         self,
@@ -175,6 +195,7 @@ class RegistryIndex:
                 pr_s, bx_s, sc_s = prow[o3], boxes[o3], score[o3]
                 keep1 = np.ones(len(pr_s), bool)
                 keep1[1:] = pr_s[1:] != pr_s[:-1]
+                refine: list[tuple[int, int]] = []  # (pi, gi) to geometry-resolve
                 for pi, box, sc in zip(pr_s[keep1], bx_s[keep1], sc_s[keep1]):
                     if sc >= min_score:
                         gi = int(pt_idx[pi])
@@ -182,6 +203,18 @@ class RegistryIndex:
                         pids[gi] = self.ids[int(box)].as_py()
                         v = self.mainstems[int(box)]
                         mainstems[gi] = None if not v.is_valid else v.as_py()
+                        if mainstems[gi] is not None and self.flowlines is not None:
+                            refine.append((int(pi), gi))
+                # nearest-flowline association (J1 geometry-true mainstem):
+                # ONE vectorized grid-pruned nearest() call for all matched
+                # mentions; the nearest flowline's URI wins over the matched
+                # row's attribute (which stays the no-candidate fallback)
+                if refine:
+                    r_pi = np.array([p for p, _ in refine], np.int64)
+                    line, _dist = self.flowlines.nearest(xs[r_pi], ys[r_pi])
+                    for (_, gi), ln in zip(refine, line):
+                        if ln >= 0:
+                            mainstems[gi] = self.flowline_uris[int(ln)]
         # fallback: token blocking for everything unresolved
         rest = np.flatnonzero(~matched)
         if len(rest):

@@ -139,6 +139,147 @@ def wkb_polygons(vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
     return np.array([row.tobytes() for row in buf], object)
 
 
+def wkb_polylines(vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Vectorized WKB LineString encoding for n uniform polylines.
+
+    ``vx``/``vy`` are (n, k) vertex arrays.  Returns an object array of
+    ``bytes`` — one 1+4+4+16k-byte WKB LineString per row (no per-row
+    struct loop), the flowline analogue of :func:`wkb_polygons`.
+    """
+    n, k = vx.shape
+    size = 9 + 16 * k
+    buf = np.zeros((n, size), np.uint8)
+    buf[:, 0] = 1  # little endian
+    buf[:, 1:5] = np.frombuffer(np.uint32(2).tobytes(), np.uint8)  # LineString
+    buf[:, 5:9] = np.frombuffer(np.uint32(k).tobytes(), np.uint8)
+    coords = buf[:, 9:].view("<f8").reshape(n, k, 2)
+    coords[:, :, 0] = vx
+    coords[:, :, 1] = vy
+    return np.array([row.tobytes() for row in buf], object)
+
+
+class PolylineStore:
+    """CSR vertex store parsed from WKB LineStrings with a vectorized
+    point-to-segment nearest-distance kernel over candidate pairs.
+
+    The broadcast-side numpy equivalent of the reference's FlatGeobuf
+    flowline layer (nearest-flowline association, reference
+    userCode/defs_test.py:75-80,120-127): parse once on the driver,
+    score grid-pruned (point, line) candidate pairs in bulk — unlike
+    :func:`nearest_polyline`, never all points × all segments.
+    """
+
+    def __init__(self, wkbs):
+        import struct
+
+        vxs, vys = [], []
+        for w in wkbs:
+            if w is None:
+                vxs.append(np.array([], np.float64))
+                vys.append(np.array([], np.float64))
+                continue
+            if w[0] != 1 or struct.unpack_from("<I", w, 1)[0] != 2:
+                raise ValueError("expected little-endian WKB LineString")
+            npts = struct.unpack_from("<I", w, 5)[0]
+            pts = np.frombuffer(w, "<f8", npts * 2, 9).reshape(npts, 2)
+            vxs.append(pts[:, 0].astype(np.float64))
+            vys.append(pts[:, 1].astype(np.float64))
+        counts = np.array([len(v) for v in vxs], np.int64)
+        self.offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+        self.vx = np.concatenate(vxs) if len(vxs) else np.array([], np.float64)
+        self.vy = np.concatenate(vys) if len(vys) else np.array([], np.float64)
+        self.counts = counts
+        self.max_nv = int(counts.max()) if len(counts) else 0
+
+    def bboxes(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        n = len(self.counts)
+        xmin = np.full(n, np.inf)
+        xmax = np.full(n, -np.inf)
+        ymin = np.full(n, np.inf)
+        ymax = np.full(n, -np.inf)
+        if (self.counts > 0).any():
+            idx = np.repeat(np.arange(n), self.counts)
+            np.minimum.at(xmin, idx, self.vx)
+            np.maximum.at(xmax, idx, self.vx)
+            np.minimum.at(ymin, idx, self.vy)
+            np.maximum.at(ymax, idx, self.vy)
+        return xmin, ymin, xmax, ymax
+
+    def distance_pairs(
+        self, xs: np.ndarray, ys: np.ndarray, pt: np.ndarray, line: np.ndarray
+    ) -> np.ndarray:
+        """Min point-to-segment distance per candidate (pt, line) pair —
+        vectorized across pairs, looping only over the (small, constant)
+        max vertex count (same shape as PolygonStore.contains_pairs)."""
+        m = len(pt)
+        if m == 0:
+            return np.zeros(0, np.float64)
+        px, py = xs[pt], ys[pt]
+        off = self.offsets[line]
+        nv = self.counts[line]
+        best = np.full(m, np.inf)
+        for k in range(max(self.max_nv - 1, 0)):
+            act = k + 1 < nv
+            i1 = np.where(act, off + k, 0)
+            i2 = np.where(act, off + k + 1, 0)
+            x1, y1 = self.vx[i1], self.vy[i1]
+            dx, dy = self.vx[i2] - x1, self.vy[i2] - y1
+            len2 = dx * dx + dy * dy
+            t = np.clip(
+                ((px - x1) * dx + (py - y1) * dy) / np.maximum(len2, 1e-300), 0.0, 1.0
+            )
+            ex, ey = px - (x1 + t * dx), py - (y1 + t * dy)
+            d2 = ex * ex + ey * ey
+            best = np.where(act, np.minimum(best, d2), best)
+        return np.sqrt(best)
+
+
+class GridPolylineIndex:
+    """Broadcast nearest-flowline index: uniform grid over PADDED line
+    bboxes (candidate pruning — ``pad`` is the search radius) + exact
+    point-to-segment distances on the candidates only."""
+
+    def __init__(self, ids, wkbs, pad: float = 0.005, cell: float | None = None):
+        self.ids = np.asarray(ids)
+        self.store = PolylineStore(wkbs)
+        xmin, ymin, xmax, ymax = self.store.bboxes()
+        boxes = pd.DataFrame(
+            {
+                "id": self.ids,
+                "bbox_xmin": xmin - pad,
+                "bbox_ymin": ymin - pad,
+                "bbox_xmax": xmax + pad,
+                "bbox_ymax": ymax + pad,
+            }
+        )
+        self.grid = GridBBoxIndex(boxes, id_col="id", cell=cell)
+
+    def nearest(self, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per point: (line_row, distance) of the nearest candidate line,
+        or (-1, inf) when no line's padded bbox covers the point.
+        Deterministic tie-break: smallest line row wins."""
+        n = len(xs)
+        best_line = np.full(n, -1, np.int64)
+        best_dist = np.full(n, np.inf)
+        pts, lines = self.grid.query_pairs(
+            np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+        )
+        if not len(pts):
+            return best_line, best_dist
+        dist = self.store.distance_pairs(
+            np.asarray(xs, np.float64), np.asarray(ys, np.float64), pts, lines
+        )
+        # per-point argmin: distance asc, then line row asc (stable)
+        order = np.lexsort((lines, dist, pts))
+        p_s, l_s, d_s = pts[order], lines[order], dist[order]
+        first = np.ones(len(p_s), bool)
+        first[1:] = p_s[1:] != p_s[:-1]
+        best_line[p_s[first]] = l_s[first]
+        best_dist[p_s[first]] = d_s[first]
+        return best_line, best_dist
+
+
 class PolygonStore:
     """CSR vertex store parsed from WKB polygons (exterior ring only) with
     a vectorized ray-casting containment kernel.

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -292,6 +293,68 @@ def test_spatial_linker_disambiguates_identical_names():
     # no coordinates → token fallback (ambiguous name → smallest row wins)
     matched, pids, _ = idx.link_spatial_batch(pd.Series(["Gauge X"]), [None])
     assert matched[0] and pids[0] == "https://pids.geoconnex.dev/s/a"
+
+
+def test_nearest_flowline_wins_over_matched_row_attribute():
+    """J1 geometry-true mainstem (round-4): the mainstem association is
+    the feature point's NEAREST flowline among grid candidates — golden
+    pair where the matched registry row's own flowline is farther than a
+    neighbor's, so the neighbor's mainstem URI wins; out-of-radius points
+    fall back to the matched row's attribute (reference
+    userCode/defs_test.py:75-80,120-127)."""
+    from scheduler_ray.stages.spatial import wkb_polylines
+
+    lvx = np.array([[0.503, 0.503], [0.5005, 0.5005]])
+    lvy = np.array([[0.4, 0.6], [0.4, 0.6]])
+    fl = wkb_polylines(lvx, lvy)
+    reg = pd.DataFrame(
+        {
+            "id": ["https://pids.geoconnex.dev/s/a", "https://pids.geoconnex.dev/s/b"],
+            "feature_name": ["Gauge A", "Gauge B"],
+            "mainstem_uri": ["https://m/a", "https://m/b"],
+            "bbox_xmin": [0.0, 10.0],
+            "bbox_ymin": [0.0, 10.0],
+            "bbox_xmax": [1.0, 11.0],
+            "bbox_ymax": [1.0, 11.0],
+            # row a's flowline sits 0.003 from (0.5, 0.5); row b's only
+            # 0.0005 — nearest-wins must pick b's mainstem for a point
+            # matched (by bbox+name) to row a
+            "flowline_wkb": [fl[0], fl[1]],
+        }
+    )
+    idx = RegistryIndex(reg)
+    assert idx.flowlines is not None
+    matched, pids, ms = idx.link_spatial_batch(
+        pd.Series(["Gauge A", "Gauge B"]), [(0.5, 0.5), (10.5, 10.5)]
+    )
+    assert list(matched) == [True, True]
+    assert pids == ["https://pids.geoconnex.dev/s/a", "https://pids.geoconnex.dev/s/b"]
+    # point 1: nearest flowline (row b's) overrides row a's attribute;
+    # point 2: no flowline within the grid pad → attribute fallback
+    assert ms == ["https://m/b", "https://m/b"]
+
+
+def test_polyline_store_matches_allpairs_kernel():
+    """GridPolylineIndex.nearest (grid-pruned) agrees with the all-pairs
+    nearest_polyline kernel wherever the grid yields a candidate."""
+    from scheduler_ray.stages.spatial import (
+        GridPolylineIndex,
+        nearest_polyline,
+        wkb_polylines,
+    )
+
+    rng = np.random.RandomState(0)
+    k = 4
+    base = rng.uniform(-5, 5, (12, 1, 2))
+    verts = base + rng.uniform(-0.4, 0.4, (12, k, 2)).cumsum(axis=1)
+    wkbs = wkb_polylines(verts[:, :, 0], verts[:, :, 1])
+    idx = GridPolylineIndex(np.arange(12), wkbs, pad=12.0)  # pad ≫ extent → all candidates
+    xs = rng.uniform(-5, 5, 40)
+    ys = rng.uniform(-5, 5, 40)
+    line, dist = idx.nearest(xs, ys)
+    ref_line, ref_dist = nearest_polyline(xs, ys, [v for v in verts])
+    assert np.array_equal(line, ref_line)
+    np.testing.assert_allclose(dist, ref_dist, rtol=1e-12, atol=1e-12)
 
 
 def test_link_batch_extracts_geo_points():
