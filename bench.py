@@ -31,6 +31,10 @@ AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "640"))
 #: pad each page's html to ~this many KB (0 = off) — the realistic
 #: Common-Crawl regime where extraction is byte-bound
 PAGE_KB = int(os.environ.get("GRAFT_PAGE_KB", "0"))
+#: corpus shape: "full" (current semantics) or "r2" (round-2 semantics —
+#: single tag variant, no completeness/context blocks, bbox-only linking)
+#: for decomposing corpus-cost vs engine-cost (round-4 verdict item 3)
+CORPUS_SHAPE = os.environ.get("GRAFT_CORPUS_SHAPE", "full")
 
 
 def run_bench() -> dict:
@@ -55,7 +59,7 @@ def run_bench() -> dict:
     from scheduler_ray.config import PipelineConfig
 
     cfg = PipelineConfig.for_cpus(NUM_CPUS)
-    fx = ensure_pages_fixture(SF_DIR, amplify=AMPLIFY, pad_kb=PAGE_KB)
+    fx = ensure_pages_fixture(SF_DIR, amplify=AMPLIFY, pad_kb=PAGE_KB, shape=CORPUS_SHAPE)
 
     # warm the OS page cache AND spin up the worker-process pool so the
     # timed run measures compute+shuffle, not first disk read / cold start
@@ -119,6 +123,7 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / headline, 1),
         "amplify": AMPLIFY,
         "page_kb": PAGE_KB,
+        "corpus_shape": CORPUS_SHAPE,
     }
 
 

@@ -155,7 +155,7 @@ def _vec(df: pd.DataFrame) -> dict[str, pd.Series]:
     }
 
 
-def _name_json(v: dict[str, pd.Series]) -> pd.Series:
+def _name_json(v: dict[str, pd.Series], shape: str = "full") -> pd.Series:
     """The JSON value of ``schema:name`` per document (round-4 SHACL
     rules — quotes/brackets included):
 
@@ -169,6 +169,8 @@ def _name_json(v: dict[str, pd.Series]) -> pd.Series:
     did = v["doc_id"]
     d = v["d"]
     single = '"' + v["name"] + '"'
+    if shape == "r2":  # BENCH-ONLY regression-decomposition shape
+        return single
     double = '["Feature ' + d + '","Feature ' + d + ' (alt)"]'
     lower = '"feature ' + d + '"'
     return single.where(did % 41 != 0, lower).where(did % 37 != 0, double)
@@ -192,7 +194,7 @@ def _node(
     return body + "}"
 
 
-def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
+def jsonld_for_documents(df: pd.DataFrame, shape: str = "full") -> pd.Series:
     """The exact ld+json payload per document (None → no block).
 
     This is THE conformance function: the extraction stage must reproduce
@@ -202,7 +204,7 @@ def jsonld_for_documents(df: pd.DataFrame) -> pd.Series:
     v = _vec(df)
     did = v["doc_id"]
     ctx = pd.Series(np.where(did % 13 == 0, CONTEXT_JSON, ""), index=df.index)
-    name_json = _name_json(v)
+    name_json = _name_json(v, shape)
     case_a = "{" + ctx + _node(v["pid"], v, None, name_json).str.slice(1)
     case_b = "{" + ctx + _node(v["prov"], v, v["pid"], name_json).str.slice(1)
     chain_edge = '{"@id":"' + v["prov"] + '","owl:sameAs":"' + v["pid"] + '"}'
@@ -279,7 +281,7 @@ def fourth_block_for_documents(df: pd.DataFrame) -> pd.Series:
     return block.where(valid & (did % 31 == 0), None)
 
 
-def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
+def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0, shape: str = "full") -> pd.DataFrame:
     """documents rows → pages rows (url, warc_ts, html, text, lang).
 
     ``pad_kb`` appends that many KB of inert filler to each page body —
@@ -287,11 +289,16 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     are ~100 KB and extraction is byte-bound.  The ld+json blocks precede
     the filler, so extraction/expansion semantics (and the oracles, which
     only run at pad_kb=0) are unchanged.
+
+    ``shape="r2"`` (BENCH-ONLY, round-4 verdict item 3) reproduces the
+    round-2 corpus semantics for regression decomposition: one canonical
+    script-tag variant (no wrappers), no third/fourth blocks, no SHACL
+    violation classes.  The oracles only run at shape="full".
     """
     v = _vec(df)
     url = "https://" + v["src"].map(domain_for_source) + "/" + v["src"] + "/items/" + v["d"]
-    payload = jsonld_for_documents(df)
-    vi = (v["doc_id"] % 7).to_numpy()
+    payload = jsonld_for_documents(df, shape)
+    vi = (v["doc_id"] % 7).to_numpy() if shape != "r2" else np.zeros(len(df), np.int64)
     open_tag = pd.Series(np.array(SCRIPT_OPEN_VARIANTS, object)[vi], index=df.index)
     close_tag = pd.Series(np.array(SCRIPT_CLOSE_VARIANTS, object)[vi], index=df.index)
     wrap_pre = pd.Series(np.array(WRAP_PRE_VARIANTS, object)[vi], index=df.index)
@@ -299,10 +306,13 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     script = (open_tag + wrap_pre + payload + wrap_suf + close_tag).fillna("")
     block2 = second_block_for_documents(df)
     script2 = (open_tag + wrap_pre + block2 + wrap_suf + close_tag).fillna("")
-    block3 = third_block_for_documents(df)
-    script3 = (open_tag + wrap_pre + block3 + wrap_suf + close_tag).fillna("")
-    block4 = fourth_block_for_documents(df)
-    script4 = (open_tag + wrap_pre + block4 + wrap_suf + close_tag).fillna("")
+    if shape == "r2":
+        script3 = script4 = pd.Series("", index=df.index)
+    else:
+        block3 = third_block_for_documents(df)
+        script3 = (open_tag + wrap_pre + block3 + wrap_suf + close_tag).fillna("")
+        block4 = fourth_block_for_documents(df)
+        script4 = (open_tag + wrap_pre + block4 + wrap_suf + close_tag).fillna("")
     filler = "<!--" + "x" * (pad_kb * 1024) + "-->" if pad_kb else ""
     html = (
         "<html><head><title>Feature " + v["d"] + "</title>"
@@ -324,7 +334,7 @@ def pages_from_documents(df: pd.DataFrame, pad_kb: int = 0) -> pd.DataFrame:
     )
 
 
-def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
+def registry_from_documents(df: pd.DataFrame, shape: str = "full") -> pd.DataFrame:
     """The PID registry / entity-link target table (FIXTURES.md §3).
 
     Broadcast small side of J1/J2 (reference's mainstem hydrofabric +
@@ -358,7 +368,7 @@ def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
     lvx = np.stack([px - 0.004, px, px + 0.004], axis=1)
     lvy = np.stack([py - 0.002, py, py + 0.002], axis=1)
     flowline = pd.Series(wkb_polylines(lvx, lvy), index=df.index)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "id": v["pid"],
             "geoconnex_sitemap": v["src"],
@@ -373,6 +383,9 @@ def registry_from_documents(df: pd.DataFrame) -> pd.DataFrame:
             "flowline_wkb": flowline.where(did % 3 == 0, None),
         }
     )
+    if shape == "r2":  # round-2 linker shape: bbox-only, no geometry columns
+        out = out.drop(columns=["ring_wkb", "flowline_wkb"])
+    return out
 
 
 def sources_config(sources: pd.Series) -> pd.DataFrame:
@@ -409,14 +422,20 @@ def amplify_documents(df: pd.DataFrame, factor: int) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
-def fixture_dir(sf_dir: str, amplify: int = 1, pad_kb: int = 0) -> str:
+def fixture_dir(sf_dir: str, amplify: int = 1, pad_kb: int = 0, shape: str = "full") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     suffix = f"_p{pad_kb}" if pad_kb else ""
+    if shape != "full":
+        suffix += f"_{shape}"
     return f"/tmp/scheduler_ray_fixtures/{tag}_x{amplify}{suffix}"
 
 
 def ensure_pages_fixture(
-    sf_dir: str, amplify: int = 1, rows_per_file: int = 50_000, pad_kb: int = 0
+    sf_dir: str,
+    amplify: int = 1,
+    rows_per_file: int = 50_000,
+    pad_kb: int = 0,
+    shape: str = "full",
 ) -> str:
     """Generate (once, cached) pages/registry/sources parquet for sf_dir.
 
@@ -424,7 +443,7 @@ def ensure_pages_fixture(
     parquet shards so Ray reads in parallel), ``registry.parquet`` and
     ``sources.parquet``.  Deterministic: same inputs → same bytes.
     """
-    out = fixture_dir(sf_dir, amplify, pad_kb)
+    out = fixture_dir(sf_dir, amplify, pad_kb, shape)
     done = os.path.join(out, "_COMPLETE")
     if os.path.exists(done):
         return out
@@ -435,11 +454,11 @@ def ensure_pages_fixture(
         # keep files (and row groups) splittable: ~64 MB of padded html
         # per file, else a single multi-GB row group serializes the read
         rows_per_file = min(rows_per_file, max(512, (64 * 1024) // pad_kb))
-    registry = registry_from_documents(docs)
+    registry = registry_from_documents(docs, shape=shape)
     registry.to_parquet(os.path.join(out, "registry.parquet"), index=False)
     sources_config(docs["source"]).to_parquet(os.path.join(out, "sources.parquet"), index=False)
     for i, lo in enumerate(range(0, len(docs), rows_per_file)):
-        chunk = pages_from_documents(docs.iloc[lo : lo + rows_per_file], pad_kb=pad_kb)
+        chunk = pages_from_documents(docs.iloc[lo : lo + rows_per_file], pad_kb=pad_kb, shape=shape)
         tbl = pa.Table.from_pandas(chunk, preserve_index=False)
         tbl = tbl.replace_schema_metadata(None)  # pandas metadata breaks Ray's schema dedup
         pq.write_table(
