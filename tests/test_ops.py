@@ -695,3 +695,104 @@ def test_distributed_pair_verify_no_driver_pairs():
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (10, 11) in got
     assert all(13 not in p for p in got)
+
+
+# ------------------------------------------------- fetch contract (S2/S7)
+def test_fetch_one_retry_schedule():
+    """Retryable statuses back off exponentially and stop at max_retries;
+    2xx returns the body; non-429 4xx is permanent (no retry)."""
+    from scheduler_ray.sources.fetch import FetchPolicy, fetch_one
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        return (503, b"") if calls["n"] < 3 else (200, b"ok")
+
+    status, body, err, attempts = fetch_one(
+        "https://x/1", flaky, FetchPolicy(max_retries=3, backoff_s=0.5), sleeps.append
+    )
+    assert (status, body, err, attempts) == (200, b"ok", None, 3)
+    assert sleeps == [0.5, 1.0]  # backoff_s * 2**attempt
+
+    status, body, err, attempts = fetch_one(
+        "https://x/2", lambda u: (404, b""), FetchPolicy(), sleeps.append
+    )
+    assert (status, body, err, attempts) == (404, None, "http:404", 1)
+
+    def always_down(url):
+        raise ConnectionError("reset")
+
+    status, body, err, attempts = fetch_one(
+        "https://x/3", always_down, FetchPolicy(max_retries=2), lambda s: None
+    )
+    assert (status, err, attempts) == (0, "transport:ConnectionError", 3)
+
+
+def test_fetcher_bounds_per_source_concurrency():
+    """The per-source cap from the sitemap hint bounds in-flight requests
+    per origin: a 2-source batch never exceeds each source's cap."""
+    import threading
+    import time as _t
+
+    from scheduler_ray.sources.fetch import PageFetcher
+
+    lock = threading.Lock()
+    inflight = {"a": 0, "b": 0}
+    peak = {"a": 0, "b": 0}
+
+    def transport(url):
+        src = url.split("/")[4]
+        with lock:
+            inflight[src] += 1
+            peak[src] = max(peak[src], inflight[src])
+        _t.sleep(0.02)
+        with lock:
+            inflight[src] -= 1
+        return 200, b"x"
+
+    urls = [f"https://h/x/a/{i}" for i in range(8)] + [f"https://h/x/b/{i}" for i in range(8)]
+    batch = pa.table(
+        {
+            "url": pa.array(urls),
+            "source": pa.array(["a"] * 8 + ["b"] * 8),
+        }
+    )
+    out = PageFetcher(transport, source_concurrency={"a": 1, "b": 3})(batch)
+    assert out["status"].to_pylist() == [200] * 16
+    assert peak["a"] == 1 and 1 < peak["b"] <= 3
+
+
+def test_fetch_stage_dataset_and_offline_boundary():
+    """Dataset-level fetch: sources table supplies the caps; errors are
+    rows, not crashes; the default transport is the honest no-network
+    boundary."""
+    import pytest as _pytest
+
+    from scheduler_ray.sources.fetch import fetch_stage, offline_transport
+
+    with _pytest.raises(NotImplementedError):
+        offline_transport("https://x")
+
+    def transport(url):
+        return (200, url.encode()) if url.endswith("0") else (410, b"")
+
+    urls = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "url": [f"https://h/s/{i}" for i in range(4)],
+                "source": ["s0", "s0", "s1", "s1"],
+            }
+        )
+    )
+    srcs = pd.DataFrame({"source_id": ["s0", "s1"], "max_request_concurrency": [2, 1]})
+    out = (
+        fetch_stage(urls, srcs, transport=transport)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out["status"].tolist() == [200, 410, 410, 410]
+    assert out["html"][0] == b"https://h/s/0"
+    assert out["fetch_error"].tolist() == [None, "http:410", "http:410", "http:410"]
