@@ -199,6 +199,7 @@ def run_flagship(
     fixture_dir: str,
     out_dir: str | None = None,
     cfg: PipelineConfig | None = None,
+    index_ref: "ray.ObjectRef | None" = None,
 ) -> Dataset:
     """End-to-end: fixture dir → canonical triples (written if out_dir).
 
@@ -207,6 +208,9 @@ def run_flagship(
     canonicalization fused into the main pass, direct per-block sorted
     hive writes, global merge + fixup only where cross-batch chains land.
     ``sort_mode="global"`` (or no out_dir) uses the two-pass path.
+
+    ``index_ref``: an already-broadcast ``RegistryIndex`` ObjectRef (ST1
+    steady state — see link_stage); skips the per-job index load/put.
     """
     import os
 
@@ -219,6 +223,8 @@ def run_flagship(
         registry, sources = load_side_tables(fixture_dir)
     else:
         sources = load_sources_only(fixture_dir)
+    if index_ref is not None:
+        registry = index_ref
     pages = read_pages(fixture_dir)
 
     if out_dir and cfg.single_pass and cfg.sort_mode in ("local", "ranged"):

@@ -241,23 +241,35 @@ def write_release_graphs(
         hot_keys=hot,
         factor=salt_factor,
     ).to_pandas()
-    # concatenate salted members (salt order) into the final per-source file
+    # concatenate salted members (salt order) into the final per-source
+    # file — one remote task per source (I/O-bound; the old sequential
+    # driver loop serialized on source count — round-3 verdict note 5).
+    # Assumes a shared filesystem across workers, same as the writer.
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def concat_members(final: str, member_paths: list[str]) -> None:
+        with open(final, "wb") as f:
+            for p in member_paths:
+                with open(p, "rb") as m:
+                    f.write(m.read())
+                os.remove(p)
+        with open(final, "rb") as f:
+            digest = _bytesum(f.read())
+        with open(final + ".bytesum", "w") as f:
+            f.write(digest)
+
     summary = []
+    pending = []
     for source, grp in parts.groupby("source"):
         paths = sorted(grp["path"])
         final = _source_path(graphs_dir, source)
         member_paths = [p for p in paths if p != final]
         if member_paths:
-            with open(final, "wb") as f:
-                for p in member_paths:
-                    with open(p, "rb") as m:
-                        f.write(m.read())
-                    os.remove(p)
-            with open(final, "rb") as f:
-                digest = _bytesum(f.read())
-            with open(final + ".bytesum", "w") as f:
-                f.write(digest)
+            pending.append(concat_members.remote(final, member_paths))
         summary.append({"source": source, "n_quads": int(grp["n_quads"].sum()), "path": final})
+    if pending:
+        ray.get(pending)
     return pd.DataFrame(summary).sort_values("source").reset_index(drop=True)
 
 

@@ -504,9 +504,17 @@ def link_stage(
     * ``use_actors=True``: a classic ``map_batches(EntityLinker,
       concurrency=(min,max))`` actor pool — the right shape when per-worker
       state is expensive to load (GPU NER models) or needs exclusivity.
+
+    ``registry`` may also be a ``ray.ObjectRef`` to an ALREADY-RESIDENT
+    ``RegistryIndex`` (ST1 steady state: on a long-lived cluster the
+    index is broadcast once and reused across jobs, like the reference's
+    resident hydrofabric/validator services) — no per-job unpickle/put.
     """
-    index = build_or_load_index(registry, index_cache_path)
-    registry_ref = ray.put(index)  # build once, broadcast
+    if isinstance(registry, ray.ObjectRef):
+        registry_ref = registry
+    else:
+        index = build_or_load_index(registry, index_cache_path)
+        registry_ref = ray.put(index)  # build once, broadcast
     sources_ref = ray.put(sources)
     if use_actors:
         return triples.map_batches(

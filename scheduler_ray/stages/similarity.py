@@ -325,13 +325,19 @@ def ivf_centroids(embeddings: Dataset, n_centroids: int) -> np.ndarray:
     return _normalize(_embedding_matrix(cdf))
 
 
-def ivf_assign(embeddings: Dataset, n_centroids: int = 16) -> Dataset:
+def ivf_assign(
+    embeddings: Dataset, n_centroids: int = 16, centroids: np.ndarray | None = None
+) -> Dataset:
     """Coarse-quantizer assignment: every vector → its max-cosine centroid
     (ties → smaller centroid id, matching the SQL ORDER BY).  Streaming
-    ``map_batches`` against the broadcast centroid matrix."""
+    ``map_batches`` against the broadcast centroid matrix.  Pass
+    ``centroids`` to reuse a quantizer across calls (centroids are tiny
+    — one corpus pass amortizes over every downstream assign/probe)."""
     import ray
 
-    cref = ray.put(ivf_centroids(embeddings, n_centroids))
+    cref = ray.put(
+        centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
+    )
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         cm = ray.get(cref)
@@ -351,6 +357,7 @@ def ivf_ann_topk(
     *,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k: score ONLY corpus vectors assigned to one of
     each query's ``nprobe`` nearest centroids (inverted-list pruning).
@@ -362,7 +369,7 @@ def ivf_ann_topk(
     """
     import ray
 
-    cm = ivf_centroids(embeddings, n_centroids)
+    cm = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
     qn = _normalize(np.asarray(queries, np.float64))
     qsims = qn @ cm.T  # (nq, C)
     # top-nprobe centroids per query: score desc, centroid id asc
