@@ -67,6 +67,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("pred", pa.large_string()),
         ("rows", pa.int64()),
         ("stem", pa.large_string()),
+        ("n_pairs", pa.int64()),
     ]
 )
 
@@ -138,39 +139,78 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table
             "pred": pa.array(preds, pa.large_string()),
             "rows": pa.array(rows, pa.int64()),
             "stem": pa.array([stem] * len(files), pa.large_string()),
+            "n_pairs": pa.array([pairs.num_rows] * len(files), pa.int64()),
         }
     )
 
 
+@ray.remote(num_cpus=1)
+def _read_merge_pairs(fs, *paths: str) -> pa.Table:
+    return _merge_pair_tables([fs.read_table(p) for p in paths])
+
+
+@ray.remote(num_cpus=1)
+def _merge_pairs(*tables: pa.Table) -> pa.Table:
+    return _merge_pair_tables(list(tables))
+
+
+@ray.remote(num_cpus=1)
+def _finish_lut(*tables: pa.Table) -> tuple:
+    final = _merge_pair_tables(list(tables))
+    return build_rewrite_lut(
+        final["node"].combine_chunks(), final["root"].combine_chunks()
+    )
+
+
+class _PairMerger:
+    """Incremental worker-side tree-merge of per-block pair sidecars into
+    the global rewrite LUT.  ``add()`` is called as manifest blocks stream
+    back to the driver, so the leaf read+merge waves OVERLAP the main
+    dataset execution; ``finish()`` only pays the final small reduction.
+    The driver never holds pair bytes — only ObjectRefs."""
+
+    def __init__(self, fs, merge_fanout: int = 8):
+        self.fs = fs
+        self.fanout = merge_fanout
+        self.pending: list[str] = []
+        self.refs: list = []
+        self.n_files = 0
+
+    def add(self, path: str) -> None:
+        self.n_files += 1
+        self.pending.append(path)
+        if len(self.pending) >= self.fanout:
+            self.refs.append(_read_merge_pairs.remote(self.fs, *self.pending))
+            self.pending = []
+        # collapse eagerly so the intermediate waves also overlap execution
+        if len(self.refs) >= self.fanout * 2:
+            self.refs = [_merge_pairs.remote(*self.refs[: self.fanout])] + self.refs[
+                self.fanout :
+            ]
+
+    def finish(self):
+        """Returns the LUT ObjectRef, or None if no pair files were seen."""
+        if self.pending:
+            self.refs.append(_read_merge_pairs.remote(self.fs, *self.pending))
+            self.pending = []
+        if not self.refs:
+            return None
+        refs = self.refs
+        while len(refs) > self.fanout:
+            refs = [
+                _merge_pairs.remote(*refs[i : i + self.fanout])
+                for i in range(0, len(refs), self.fanout)
+            ]
+        return _finish_lut.remote(*refs)
+
+
 def _merge_pair_files_to_lut(pair_files: list[str], fs, merge_fanout: int = 8):
-    """Tree-merge the per-block pair sidecars into the global rewrite LUT
-    (all on workers; returns the ObjectRef of the LUT tuple)."""
-
-    @ray.remote(num_cpus=1)
-    def _read_merge(*paths: str) -> pa.Table:
-        return _merge_pair_tables([fs.read_table(p) for p in paths])
-
-    @ray.remote(num_cpus=1)
-    def _merge(*tables: pa.Table) -> pa.Table:
-        return _merge_pair_tables(list(tables))
-
-    @ray.remote(num_cpus=1)
-    def _finish(*tables: pa.Table) -> tuple:
-        final = _merge_pair_tables(list(tables))
-        return build_rewrite_lut(
-            final["node"].combine_chunks(), final["root"].combine_chunks()
-        )
-
-    refs = [
-        _read_merge.remote(*pair_files[i : i + merge_fanout])
-        for i in range(0, len(pair_files), merge_fanout)
-    ]
-    while len(refs) > merge_fanout:
-        refs = [
-            _merge.remote(*refs[i : i + merge_fanout])
-            for i in range(0, len(refs), merge_fanout)
-        ]
-    return _finish.remote(*refs)
+    """Tree-merge pair sidecar files into the global rewrite LUT (all on
+    workers; returns the ObjectRef of the LUT tuple)."""
+    m = _PairMerger(fs, merge_fanout)
+    for p in pair_files:
+        m.add(p)
+    return m.finish()
 
 
 @ray.remote(num_cpus=1)
@@ -331,22 +371,54 @@ def write_canonical_single_pass(
     (``LocalFS`` default; ``NoRenameFS`` for object-store semantics —
     the commit manifest, written LAST, is the only atomicity the
     protocol needs).  Returns a summary dict."""
+    from .flagship import _phase_log
+    import time as _time
+
     fs = fs or LocalFS()
     os.makedirs(out_dir, exist_ok=True)
 
     def stage(tbl: pa.Table) -> pa.Table:
         return _write_block(tbl, out_dir, drop_sameas, fs)
 
-    manifests = triples.map_batches(
+    # Stream the manifest blocks back as they complete: each block's pair
+    # sidecar is fed to the incremental worker-side tree merge, so the LUT
+    # reduction OVERLAPS the main execution instead of being a serial tail
+    # after it.  (Also: no object-store LIST calls — pair/sidecar paths
+    # are derived from the manifest stems.)
+    t0 = _time.time()
+    merger = _PairMerger(fs)
+    man_tables: list[pa.Table] = []
+    seen_stems: set[str] = set()
+    pairs_dir = os.path.join(out_dir, PAIRS_DIR)
+    for tbl in triples.map_batches(
         stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if tbl.num_rows == 0:
+            continue
+        man_tables.append(tbl)
+        for stem, n_pairs in zip(tbl["stem"].to_pylist(), tbl["n_pairs"].to_pylist()):
+            if stem in seen_stems:
+                continue
+            seen_stems.add(stem)
+            if n_pairs:
+                merger.add(os.path.join(pairs_dir, f"pairs-{stem}.parquet"))
+    manifests = (
+        pa.concat_tables(man_tables) if man_tables else MANIFEST_SCHEMA.empty_table()
     ).to_pandas()
+    t0 = _phase_log("  sp:execute", t0)
 
-    pair_files = fs.list(os.path.join(out_dir, PAIRS_DIR), suffix=".parquet")
     fixed = 0
     replaced: list[str] = []
-    if pair_files:
-        lut_ref = _merge_pair_files_to_lut(pair_files, fs)
-        sidecars = fs.list(os.path.join(out_dir, SIDECAR_DIR), suffix=".npy")
+    lut_ref = merger.finish()
+    if lut_ref is not None:
+        sidecars = [
+            os.path.join(out_dir, SIDECAR_DIR, f"{s}.npy") for s in sorted(seen_stems)
+        ]
+        if os.environ.get("SCHEDULER_RAY_TIMINGS"):
+            ray.wait([lut_ref])
+            t0 = _phase_log(
+                f"  sp:lut_merge({merger.n_files}p/{len(sidecars)}s)", t0
+            )
         group = 32
         flag_refs = [
             _flag_sidecars.remote(sidecars[i : i + group], lut_ref, fs)
@@ -356,6 +428,7 @@ def write_canonical_single_pass(
         flagged_stems = {
             os.path.basename(s)[: -len(".npy")] for s, f in zip(sidecars, flags) if f
         }
+        t0 = _phase_log("  sp:flag", t0)
         if flagged_stems:
             todo = manifests.index[manifests["stem"].isin(flagged_stems)]
             fixed = len(todo)
@@ -371,6 +444,7 @@ def write_canonical_single_pass(
                     replaced.append(old)
                 manifests.loc[i, "file"] = new_path
                 manifests.loc[i, "rows"] = rows
+    t0 = _phase_log("  sp:fixup", t0)
     # COMMIT: one small object naming the live files; only then delete
     # fixed-up predecessors and scratch sidecars
     write_commit_manifest(
@@ -383,6 +457,7 @@ def write_canonical_single_pass(
         fs.delete(old)
     fs.delete_prefix(os.path.join(out_dir, PAIRS_DIR))
     fs.delete_prefix(os.path.join(out_dir, SIDECAR_DIR))
+    _phase_log("  sp:commit_cleanup", t0)
     return {
         "files": int(len(manifests)),
         "rows": int(manifests["rows"].sum()) if len(manifests) else 0,
