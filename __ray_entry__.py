@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_counts": q.q_label_counts,
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
+        "feature_mercator": q.q_feature_mercator,
         "spatial_join": q.q_spatial_join,
         "polygon_join": q.q_polygon_join,
         "mm_metadata": q.q_mm_metadata,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": q.SQL_CURATION_PIPELINE,
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),
+        "feature_mercator": q.sql_feature_mercator(),
         "spatial_join": q.SQL_SPATIAL_JOIN,
         "polygon_join": q.SQL_POLYGON_JOIN,
         "mm_metadata": q.sql_mm_metadata(),

@@ -1013,3 +1013,31 @@ SELECT COUNT(*) AS pages,
        CAST(SUM(CASE WHEN doc_id % 17 <> 0 AND doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors
 FROM documents
 """
+
+
+def q_feature_mercator(sf_dir: str):
+    """Feature table reprojected EPSG:4326 → EPSG:3857 (M8 — a REAL
+    closed-form CRS transform, not just declared metadata; the reference
+    only ever declares 4326, reference userCode/assetGroups/export.py:358).
+    Streaming map_batches over the spherical-mercator kernel."""
+    from ..stages.spatial import reproject_stage
+
+    feats = q_feature_table(sf_dir)
+    out = reproject_stage(
+        feats, src="EPSG:4326", dst="EPSG:3857",
+        x_col="bbox_xmin", y_col="bbox_ymin", out_x="x_3857", out_y="y_3857",
+    )
+    return out.select_columns(["id", "x_3857", "y_3857"])
+
+
+def sql_feature_mercator() -> str:
+    from ..oracles import CONFORMS, LAT, LON, PID
+
+    # identical closed-form spherical web-mercator math in SQL:
+    # x = R*radians(lon); y = R*ln(tan(pi/4 + radians(lat)/2)); R = 6378137
+    return f"""
+SELECT {PID} AS id,
+       6378137.0 * radians(CAST({LON} AS DOUBLE) / 1000.0) AS x_3857,
+       6378137.0 * ln(tan(pi() / 4.0 + radians(CAST({LAT} AS DOUBLE) / 1000.0) / 2.0)) AS y_3857
+FROM documents WHERE {CONFORMS}
+"""

@@ -493,3 +493,73 @@ def hilbert_index(xs: np.ndarray, ys: np.ndarray, order: int = 16,
         x[swap], y[swap] = y[swap], x_s[swap]
         s //= 2
     return d
+
+
+# ---------------------------------------------------------------------------
+# CRS reprojection (M8 — the reference only DECLARES EPSG:4326 on export,
+# reference userCode/assetGroups/export.py:358 `set_crs(epsg=4326,
+# allow_override=True)`; a real transform is the engine-native upgrade).
+# Spherical web mercator is closed-form, so the kernel is pure vectorized
+# numpy — no GIS library needed and the math is oracle-expressible in SQL.
+
+#: WGS84 / spherical-mercator earth radius (EPSG:3857 semi-major axis, m)
+R_MERCATOR = 6378137.0
+
+
+def web_mercator_forward(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 (degrees) → EPSG:3857 (meters).  Valid for |lat| < 90;
+    the standard web-mercator tile domain is |lat| <= 85.051129 but the
+    kernel does not clamp — callers own their domain."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    x = R_MERCATOR * np.radians(lon)
+    y = R_MERCATOR * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def web_mercator_inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:3857 (meters) → EPSG:4326 (degrees)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    lon = np.degrees(x / R_MERCATOR)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / R_MERCATOR)) - np.pi / 2.0)
+    return lon, lat
+
+
+#: (src, dst) → vectorized (a, b) -> (a', b') transform
+_CRS_TRANSFORMS = {
+    ("EPSG:4326", "EPSG:3857"): web_mercator_forward,
+    ("EPSG:3857", "EPSG:4326"): web_mercator_inverse,
+}
+
+
+def reproject_stage(
+    ds: Dataset,
+    *,
+    src: str = "EPSG:4326",
+    dst: str = "EPSG:3857",
+    x_col: str = "bbox_xmin",
+    y_col: str = "bbox_ymin",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> Dataset:
+    """Append reprojected coordinate columns — a streaming ``map_batches``
+    over the closed-form kernel (zero shuffle, zero state).  Unknown CRS
+    pairs raise up front (honest boundary: only the closed-form spherical
+    pair ships; ellipsoidal datum shifts would need a proj database)."""
+    if src == dst:
+        raise ValueError(f"src == dst ({src})")
+    fn = _CRS_TRANSFORMS.get((src, dst))
+    if fn is None:
+        raise NotImplementedError(
+            f"no closed-form transform {src} -> {dst}; supported: "
+            f"{sorted(_CRS_TRANSFORMS)}"
+        )
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = fn(b[x_col].to_numpy(np.float64), b[y_col].to_numpy(np.float64))
+        b[out_x] = xs
+        b[out_y] = ys
+        return b
+
+    return ds.map_batches(batch, batch_format="pandas")

@@ -796,3 +796,39 @@ def test_fetch_stage_dataset_and_offline_boundary():
     assert out["status"].tolist() == [200, 410, 410, 410]
     assert out["html"][0] == b"https://h/s/0"
     assert out["fetch_error"].tolist() == [None, "http:410", "http:410", "http:410"]
+
+
+def test_web_mercator_roundtrip_and_known_point():
+    from scheduler_ray.stages.spatial import (
+        web_mercator_forward,
+        web_mercator_inverse,
+    )
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-85.0, 85.0, 500)
+    x, y = web_mercator_forward(lon, lat)
+    lon2, lat2 = web_mercator_inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # published reference point: (0, 0) -> (0, 0); lon 180 -> earth
+    # half-circumference in meters
+    x0, y0 = web_mercator_forward(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
+    np.testing.assert_allclose(x0[1], 20037508.342789244, rtol=1e-12)
+
+
+def test_reproject_stage_streaming_and_boundary():
+    from scheduler_ray.stages.spatial import reproject_stage
+
+    df = pd.DataFrame(
+        {"id": ["a", "b"], "bbox_xmin": [-100.5, 10.0], "bbox_ymin": [40.25, -5.0]}
+    )
+    out = reproject_stage(rd.from_pandas(df)).to_pandas()
+    assert {"x", "y"} <= set(out.columns)
+    np.testing.assert_allclose(out["x"][0], -11187608.82472399, rtol=1e-12)
+    # unsupported pair is an up-front error, not a silent wrong answer
+    with pytest.raises(NotImplementedError):
+        reproject_stage(rd.from_pandas(df), src="EPSG:4326", dst="EPSG:27700")
+    with pytest.raises(ValueError):
+        reproject_stage(rd.from_pandas(df), src="EPSG:4326", dst="EPSG:4326")
