@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
         "feature_mercator": q.q_feature_mercator,
+        "kg_index_lookup": q.q_kg_index_lookup,
         "spatial_join": q.q_spatial_join,
         "polygon_join": q.q_polygon_join,
         "mm_metadata": q.q_mm_metadata,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),
         "feature_mercator": q.sql_feature_mercator(),
+        "kg_index_lookup": q.sql_kg_index_lookup(),
         "spatial_join": q.SQL_SPATIAL_JOIN,
         "polygon_join": q.SQL_POLYGON_JOIN,
         "mm_metadata": q.sql_mm_metadata(),

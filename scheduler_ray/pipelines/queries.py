@@ -1041,3 +1041,32 @@ SELECT {PID} AS id,
        6378137.0 * ln(tan(pi() / 4.0 + radians(CAST({LAT} AS DOUBLE) / 1000.0) / 2.0)) AS y_3857
 FROM documents WHERE {CONFORMS}
 """
+
+
+def q_kg_index_lookup(sf_dir: str):
+    """Triple-permutation index build + pruned range lookup (the native
+    analogue of the reference's QLever index, S10 — reference
+    userCode/assetGroups/export.py:194-235): canonical graph → three
+    globally-sorted permutation layouts → SPO range probe for one
+    source's subject prefix, reading only manifest-intersecting files."""
+    import hashlib
+
+    from . import flagship
+    from . import index as tidx
+    from ..corpus import ensure_pages_fixture
+
+    fx = ensure_pages_fixture(sf_dir)
+    canon = flagship.run_flagship(fx)
+    out = f"/tmp/scheduler_ray_index/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    tidx.build_triple_index(canon, out)
+    prefix = "https://pids.geoconnex.dev/src5/"
+    return tidx.lookup(out, "spo", prefix, prefix + "￿")
+
+
+def sql_kg_index_lookup() -> str:
+    from ..oracles import CANONICAL_TRIPLES_SQL
+
+    return f"""
+SELECT * FROM ({CANONICAL_TRIPLES_SQL})
+WHERE subj LIKE 'https://pids.geoconnex.dev/src5/%'
+"""

@@ -832,3 +832,38 @@ def test_reproject_stage_streaming_and_boundary():
         reproject_stage(rd.from_pandas(df), src="EPSG:4326", dst="EPSG:27700")
     with pytest.raises(ValueError):
         reproject_stage(rd.from_pandas(df), src="EPSG:4326", dst="EPSG:4326")
+
+
+def test_triple_index_build_lookup_pruning(tmp_path):
+    from scheduler_ray.pipelines import index as tidx
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "subj": [f"https://x.dev/s{i % 40}/{i}" for i in range(n)],
+            "pred": [f"p{i % 7}" for i in range(n)],
+            "obj": [f"o{i}" for i in range(n)],
+            "obj_is_literal": [bool(i % 2) for i in range(n)],
+            "graph": ["g"] * n,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = str(tmp_path / "idx")
+    summary = tidx.build_triple_index(ds, out)
+    assert summary == {"spo": n, "pos": n, "osp": n}
+    # range probe: one subject bucket — compare against a pandas filter
+    lo = "https://x.dev/s7/"
+    got = tidx.lookup(out, "spo", lo, lo + "￿").to_pandas()
+    want = df[df["subj"].str.startswith(lo)]
+    assert len(got) == len(want) == 100
+    assert set(got["subj"]) == set(want["subj"])
+    # exact probe on the pos permutation (pred equality)
+    got_p = tidx.lookup(out, "pos", "p3").to_pandas()
+    assert len(got_p) == len(df[df["pred"] == "p3"])
+    assert set(got_p["pred"]) == {"p3"}
+    # pruning receipt: a narrow probe must not read every file
+    read, total = tidx.pruned_file_count(out, "spo", lo, lo + "￿")
+    assert total >= 4 and read < total
+    # empty range → empty dataset with the triple schema
+    miss = tidx.lookup(out, "spo", "zzz/")
+    assert miss.count() == 0
