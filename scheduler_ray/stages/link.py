@@ -55,6 +55,40 @@ LON_PREDS = ("schema:longitude", "https://schema.org/longitude")
 #: caches (without the polygon/flowline geometry) are never reused
 INDEX_CACHE_NAME = "registry_index_v4.pkl"
 
+#: the reference's mainstem hydrofabric source (S7, reference
+#: userCode/assetGroups/config.py:47-51)
+MAINSTEM_METADATA_URL = (
+    "https://storage.googleapis.com/"
+    "national-hydrologic-geospatial-fabric-reference-hydrofabric/"
+    "reference_catchments_and_flowlines.fgb"
+)
+
+
+def ensure_mainstem_metadata(
+    dest: str,
+    stream_transport=None,
+    *,
+    url: str = MAINSTEM_METADATA_URL,
+    policy=None,
+    progress=None,
+) -> dict:
+    """Exists-skip streaming pull of the mainstem hydrofabric file — the
+    native analogue of the reference's download asset (S7, reference
+    userCode/assetGroups/config.py:34-82): skip when ``dest`` exists,
+    1 MB-chunk stream otherwise, progress every 250 MB, atomic landing.
+    The transport is injectable (``offline_stream_transport`` default —
+    the honest no-network boundary); the index build consumes whatever
+    registry/mainstem table ``dest`` holds."""
+    from ..sources.fetch import download_file, offline_stream_transport
+
+    return download_file(
+        url,
+        dest,
+        stream_transport or offline_stream_transport,
+        policy=policy,
+        progress=progress,
+    )
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 #: tokens appearing in more than this fraction of registry names are too

@@ -867,3 +867,81 @@ def test_triple_index_build_lookup_pruning(tmp_path):
     # empty range → empty dataset with the triple schema
     miss = tidx.lookup(out, "spo", "zzz/")
     assert miss.count() == 0
+
+
+def test_download_file_stream_skip_retry(tmp_path):
+    from scheduler_ray.sources.fetch import FetchPolicy, download_file
+
+    dest = str(tmp_path / "hydrofabric.bin")
+    payload = [b"a" * 700, b"", b"b" * 700, b"c" * 100]  # empty = keep-alive
+
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return 503, iter([])
+        return 200, iter(payload)
+
+    sleeps: list[float] = []
+    marks: list[int] = []
+    out = download_file(
+        "https://x/f.fgb", dest, flaky,
+        policy=FetchPolicy(max_retries=3, backoff_s=0.1),
+        log_every_bytes=600, progress=marks.append, _sleep=sleeps.append,
+    )
+    assert out == {"skipped": False, "bytes": 1500, "attempts": 3}
+    assert open(dest, "rb").read() == b"a" * 700 + b"b" * 700 + b"c" * 100
+    assert sleeps == [0.1, 0.2]          # exponential backoff on the 503s
+    assert marks == [700, 1400]          # progress at every 600-byte mark
+    # exists-skip: second call never touches the transport
+    out2 = download_file("https://x/f.fgb", dest, flaky)
+    assert out2["skipped"] and calls["n"] == 3
+    # permanent failure raises after the policy is exhausted
+    with pytest.raises(IOError):
+        download_file(
+            "https://x/g.fgb", str(tmp_path / "g"), lambda u: (404, iter([])),
+        )
+    # a torn download never lands AND the mid-stream reset is retryable:
+    # attempt 1 dies after 10 bytes, attempt 2 streams clean
+    torn_calls = {"n": 0}
+
+    def torn(url):
+        torn_calls["n"] += 1
+        if torn_calls["n"] == 1:
+            def chunks():
+                yield b"x" * 10
+                raise ConnectionError("reset")
+            return 200, chunks()
+        return 200, iter([b"y" * 20])
+
+    got = download_file(
+        "https://x/h.fgb", str(tmp_path / "h"), torn,
+        policy=FetchPolicy(max_retries=1, backoff_s=0), _sleep=lambda s: None,
+    )
+    assert got == {"skipped": False, "bytes": 20, "attempts": 2}
+    assert open(tmp_path / "h", "rb").read() == b"y" * 20
+    assert not (tmp_path / "h.tmp").exists()
+    # exhausted mid-stream retries surface as IOError, no torn dest
+    with pytest.raises(IOError):
+        download_file(
+            "https://x/i.fgb", str(tmp_path / "i"),
+            lambda u: (200, (_ for _ in ()).throw(ConnectionError())),
+            policy=FetchPolicy(max_retries=0), _sleep=lambda s: None,
+        )
+    assert not (tmp_path / "i").exists()
+
+
+def test_ensure_mainstem_metadata_offline_boundary(tmp_path):
+    from scheduler_ray.stages.link import ensure_mainstem_metadata
+
+    # default transport is the honest no-network boundary
+    with pytest.raises(NotImplementedError):
+        ensure_mainstem_metadata(str(tmp_path / "ms.fgb"))
+    # injected transport streams; existing file skips
+    got = ensure_mainstem_metadata(
+        str(tmp_path / "ms.fgb"), lambda u: (200, iter([b"data"]))
+    )
+    assert got == {"skipped": False, "bytes": 4, "attempts": 1}
+    again = ensure_mainstem_metadata(str(tmp_path / "ms.fgb"))
+    assert again["skipped"]

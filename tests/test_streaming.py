@@ -315,3 +315,49 @@ def test_fsspec_fs_contract_memory_protocol():
     assert not fs.exists(f"{base}/a/x.bin")
     fs.delete_prefix(base)
     assert fs.list(f"{base}/a") == []
+
+
+def test_pair_merger_eager_collapse_matches_direct(tmp_path):
+    """The incremental merger (leaf launches + eager intermediate collapse,
+    the path taken at production block counts) must yield the same LUT as
+    the direct tree merge over the same files."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from scheduler_ray.pipelines.streaming import (
+        _merge_pair_files_to_lut,
+        _PairMerger,
+    )
+    from scheduler_ray.state.fs import LocalFS
+
+    rng = np.random.default_rng(3)
+    paths = []
+    # 40 files with fanout 2 → leaf refs exceed fanout*2, forcing the
+    # eager-collapse branch inside add()
+    for i in range(40):
+        n = int(rng.integers(1, 6))
+        nodes = [f"n{int(rng.integers(0, 30))}" for _ in range(n)]
+        roots = [f"r{int(rng.integers(0, 5))}" for _ in range(n)]
+        from scheduler_ray.stages.canonicalize import _hash_large_string
+
+        na = pa.array(nodes, pa.large_string())
+        ra = pa.array(roots, pa.large_string())
+        t = pa.table(
+            {"node": na, "root": ra,
+             "node_hash": pa.array(_hash_large_string(na), pa.uint64()),
+             "root_hash": pa.array(_hash_large_string(ra), pa.uint64())}
+        )
+        p = str(tmp_path / f"pairs-{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+
+    fs = LocalFS()
+    direct = ray.get(_merge_pair_files_to_lut(paths, fs, merge_fanout=2))
+    m = _PairMerger(fs, merge_fanout=2)
+    for p in paths:
+        m.add(p)
+    incremental = ray.get(m.finish())
+    assert m.n_files == 40
+    for a, b in zip(direct, incremental):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
