@@ -325,6 +325,58 @@ def ivf_centroids(embeddings: Dataset, n_centroids: int) -> np.ndarray:
     return _normalize(_embedding_matrix(cdf))
 
 
+def ivf_centroids_kmeans(
+    embeddings: Dataset,
+    n_centroids: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Real distributed Lloyd's k-means on the unit sphere (spherical
+    k-means): each iteration is ONE streaming pass — every block computes
+    its partial (per-centroid vector sum, count); the driver reduces the
+    tiny (C × D) partials and renormalizes.  Deterministic init from the
+    grid quantizer (:func:`ivf_centroids`), deterministic ties (argmax →
+    smallest centroid id), empty clusters keep their previous centroid —
+    so results are reproducible run-to-run.  The corpus is never
+    materialized; driver state is C × D floats."""
+    import ray
+
+    cm = ivf_centroids(embeddings, n_centroids)
+    d = cm.shape[1]
+    for _ in range(iters):
+        cref = ray.put(cm)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            x = _normalize(_embedding_matrix(b))
+            a = (x @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "centroid": np.arange(len(c), dtype=np.int64),
+                    "vsum": [row.tobytes() for row in sums],
+                    "count": counts,
+                }
+            )
+
+        parts = embeddings.map_batches(partial, batch_format="pandas").to_pandas()
+        sums = np.zeros((n_centroids, d))
+        counts = np.zeros(n_centroids, np.int64)
+        for cid, grp in parts.groupby("centroid"):
+            sums[cid] = np.sum(
+                [np.frombuffer(v, np.float64) for v in grp["vsum"]], axis=0
+            )
+            counts[cid] = grp["count"].sum()
+        nonempty = counts > 0
+        new = cm.copy()
+        new[nonempty] = _normalize(sums[nonempty])
+        if np.allclose(new, cm, atol=1e-12):
+            break
+        cm = new
+    return cm
+
+
 def ivf_assign(
     embeddings: Dataset, n_centroids: int = 16, centroids: np.ndarray | None = None
 ) -> Dataset:
@@ -358,18 +410,26 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: np.ndarray | None = None,
+    quantizer: str = "grid",
 ) -> pd.DataFrame:
     """IVF approximate top-k: score ONLY corpus vectors assigned to one of
     each query's ``nprobe`` nearest centroids (inverted-list pruning).
 
     The corpus streams; per batch the work is one assignment matmul + a
     masked cosine against in-probe rows; only partial top-ks reach the
-    driver.  Fully deterministic → the SQL oracle reproduces the exact
-    candidate sets and ranking.
+    driver.  ``quantizer="grid"`` (default) is the deterministic oracle-
+    reproducible quantizer; ``"kmeans"`` trains real spherical k-means
+    (:func:`ivf_centroids_kmeans` — still deterministic, but iterative so
+    not SQL-expressible).
     """
     import ray
 
-    cm = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
+    if centroids is not None:
+        cm = centroids
+    elif quantizer == "kmeans":
+        cm = ivf_centroids_kmeans(embeddings, n_centroids)
+    else:
+        cm = ivf_centroids(embeddings, n_centroids)
     qn = _normalize(np.asarray(queries, np.float64))
     qsims = qn @ cm.T  # (nq, C)
     # top-nprobe centroids per query: score desc, centroid id asc

@@ -945,3 +945,45 @@ def test_ensure_mainstem_metadata_offline_boundary(tmp_path):
     assert got == {"skipped": False, "bytes": 4, "attempts": 1}
     again = ensure_mainstem_metadata(str(tmp_path / "ms.fgb"))
     assert again["skipped"]
+
+
+def test_ivf_kmeans_quantizer_improves_and_is_deterministic():
+    from scheduler_ray.stages.similarity import (
+        _embedding_matrix,
+        _normalize,
+        ivf_ann_topk,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 planted unit-sphere clusters, 100 points each
+    centers = _normalize(rng.normal(size=(4, 16)))
+    pts = np.concatenate(
+        [_normalize(c + 0.15 * rng.normal(size=(100, 16))) for c in centers]
+    )
+    order = rng.permutation(len(pts))
+    pts = pts[order]
+    df = pd.DataFrame({"vec_id": np.arange(len(pts)), "embedding": list(pts)})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def inertia(cm):
+        return float((1.0 - (pts @ cm.T).max(axis=1)).sum())
+
+    grid = ivf_centroids(ds, 4)
+    km1 = ivf_centroids_kmeans(ds, 4, iters=5)
+    km2 = ivf_centroids_kmeans(ds, 4, iters=5)
+    np.testing.assert_array_equal(km1, km2)  # deterministic
+    assert inertia(km1) < inertia(grid)  # strictly better fit on planted data
+    # every planted center is recovered to high cosine
+    assert (km1 @ centers.T).max(axis=0).min() > 0.98
+    # and the trained quantizer slots into the IVF probe unchanged
+    q = centers[:2]
+    out = ivf_ann_topk(ds, q, np.array([0, 1]), k=5, n_centroids=4,
+                       nprobe=1, quantizer="kmeans")
+    assert len(out) == 10
+    # recall: with nprobe=1 on recovered centroids, top hits are from the
+    # query's own planted cluster
+    exact = (pts @ q.T).T.argsort(axis=1)[:, ::-1][:, :5]
+    got0 = set(out[out["query_id"] == 0]["vec_id"])
+    assert len(got0 & set(exact[0])) >= 4
