@@ -55,7 +55,10 @@ def build_triple_index(
         os.makedirs(pdir, exist_ok=True)
         lead = keys[0]
 
-        def write_block(tbl: pa.Table, pdir: str = pdir, lead: str = lead) -> pa.Table:
+        def write_block(
+            tbl: pa.Table, pdir: str = pdir, lead: str = lead,
+            keys: tuple[str, str, str] = keys,
+        ) -> pa.Table:
             if tbl.num_rows == 0:
                 return pa.table(
                     {"file": pa.array([], pa.large_string()),
@@ -68,8 +71,14 @@ def build_triple_index(
             col = tbl[lead]
             lo = pc.min(col).as_py()
             hi = pc.max(col).as_py()
+            # stem from the FULL first/last key rows + count: a hot leading
+            # key (one pred spanning many equal-size POS blocks) makes
+            # (lo, hi, rows) collide, but rows are distinct triples in one
+            # globally sorted sequence, so the boundary rows are unique
+            first = "|".join(str(tbl[k][0].as_py()) for k in keys)
+            last = "|".join(str(tbl[k][-1].as_py()) for k in keys)
             stem = hashlib.md5(
-                f"{lo}|{hi}|{tbl.num_rows}".encode()
+                f"{first}\x1f{last}\x1f{tbl.num_rows}".encode()
             ).hexdigest()[:16]
             path = os.path.join(pdir, f"part-{stem}.parquet")
             import pyarrow.parquet as pq

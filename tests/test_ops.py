@@ -987,3 +987,29 @@ def test_ivf_kmeans_quantizer_improves_and_is_deterministic():
     exact = (pts @ q.T).T.argsort(axis=1)[:, ::-1][:, :5]
     got0 = set(out[out["query_id"] == 0]["vec_id"])
     assert len(got0 & set(exact[0])) >= 4
+
+
+def test_triple_index_hot_key_no_block_collision(tmp_path):
+    """One hot leading key spanning many sorted blocks must not lose rows
+    to file-stem collisions (stems hash the full boundary rows, not just
+    the leading-key range)."""
+    from scheduler_ray.pipelines import index as tidx
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "subj": [f"s{i:05d}" for i in range(n)],
+            "pred": ["p0"] * n,  # every POS block has lo == hi == "p0"
+            "obj": [f"o{i % 10}" for i in range(n)],
+            "obj_is_literal": [True] * n,
+            "graph": ["g"] * n,
+        }
+    )
+    out = str(tmp_path / "idx")
+    summary = tidx.build_triple_index(
+        rd.from_pandas(df).repartition(8), out, permutations=("pos",)
+    )
+    assert summary["pos"] == n
+    man = pd.read_parquet(f"{out}/pos/_index_manifest.parquet")
+    assert len(man) >= 2 and man["rows"].sum() == n
+    assert tidx.lookup(out, "pos", "p0").count() == n
