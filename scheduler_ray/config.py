@@ -57,6 +57,14 @@ class PipelineConfig:
     canonical_blocks: int = 0
     #: drop owl:sameAs triples from the final graph after rewriting
     drop_sameas: bool = True
+    #: broadcast ceiling for the sameAs rewrite LUT: if the compressed
+    #: alias-pair count exceeds this, the two-pass canonical path switches
+    #: from the broadcast hash-LUT rewrite to the partitioned-join rewrite
+    #: (canonicalize_stage_joined: distributed CC + two hash joins — no
+    #: single plasma object ever holds the mapping).  Default sized so a
+    #: LUT of ~100M pairs (~8 GB of strings+hashes) still broadcasts on a
+    #: 128 GiB node; 0 disables the switch.
+    canon_broadcast_max_pairs: int = 100_000_000
     #: staging dir for the mid-pipeline triple checkpoint; None → keep the
     #: intermediate in the object store via materialize() (single-node /
     #: small runs); a path → write_parquet + read back (resumable, 100-TB path)

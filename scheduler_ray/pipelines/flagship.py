@@ -97,12 +97,31 @@ def canonical_triples(
     else:
         tri = tri.materialize()
     t0 = _phase_log("materialize_raw", t0)
-    # tree-reduced combiner → remote LUT build; only the ObjectRef comes
+    # one combiner pass compresses the alias pairs to a (tiny,
+    # materialized) edge Dataset; its row count — free metadata — drives
+    # the broadcast-vs-joined switch (ROADMAP §2): above
+    # cfg.canon_broadcast_max_pairs no single plasma object could hold the
+    # LUT, so the rewrite runs as distributed CC + two partitioned joins.
+    from ..stages.canonicalize import canonicalize_stage_joined, collect_sameas_edges, lut_ref_from_edges
+
+    edges = collect_sameas_edges(tri)
+    n_pairs = edges.count()
+    if cfg.canon_broadcast_max_pairs and n_pairs > cfg.canon_broadcast_max_pairs:
+        t0 = _phase_log("collect_edges", t0)
+        if cfg.canonical_blocks:
+            tri = tri.repartition(cfg.canonical_blocks)
+        return canonicalize_stage_joined(
+            tri,
+            edges,
+            drop_sameas=cfg.drop_sameas,
+            local_dedup=True,
+        )
+    # tree-reduced merge → remote LUT build; only the ObjectRef comes
     # back (the driver never holds the mapping bytes).  The rewrite tasks
     # block on the ref themselves, overlapping the merge tail with the
     # next execution's startup — only the timing mode inserts a barrier
     # so the phase is attributable.
-    mapping = collect_sameas_lut_ref(tri)
+    mapping = lut_ref_from_edges(edges)
     if _os.environ.get("SCHEDULER_RAY_TIMINGS"):
         ray.wait([mapping])
     t0 = _phase_log("collect_mapping", t0)

@@ -255,6 +255,52 @@ def collect_sameas_arrays(triples: Dataset, *, merge_fanout: int = 8):
     return final["node"].combine_chunks(), final["root"].combine_chunks()
 
 
+def collect_sameas_edges(triples: Dataset) -> Dataset:
+    """Per-batch sameAs combiner output as a (materialized) Dataset.
+
+    Each block is compressed to at most one ``(node, root)`` pair per
+    aliased entity (``sameas_edges_batch``), so the materialized result
+    is tiny relative to the triple stream.  Having the edges as a
+    Dataset (rather than fused into the LUT tree merge) buys two things
+    for the price of one extra streaming pass over already-materialized
+    blocks: the **pair count** (free metadata after materialize) that
+    drives the broadcast-vs-joined switch in flagship.canonical_triples,
+    and a direct input for :func:`connected_components_distributed` when
+    the joined path wins.
+    """
+    return triples.map_batches(
+        sameas_edges_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+
+def lut_ref_from_edges(edges: Dataset, *, merge_fanout: int = 8) -> "ray.ObjectRef":
+    """Tree-merge an already-collected edge Dataset into the rewrite-LUT
+    ObjectRef (same worker-side reduction as collect_sameas_lut_ref, but
+    starting from combiner output instead of raw triple blocks)."""
+    block_refs = edges.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def _merge(*tables: pa.Table) -> pa.Table:
+        return _merge_pair_tables(
+            [t for t in tables if t.num_rows > 0 and "node" in t.schema.names]
+        )
+
+    @ray.remote(num_cpus=1)
+    def _finish(*tables: pa.Table) -> tuple:
+        final = _merge_pair_tables(list(tables))
+        return build_rewrite_lut(
+            final["node"].combine_chunks(), final["root"].combine_chunks()
+        )
+
+    refs = list(block_refs)
+    while len(refs) > merge_fanout:
+        refs = [
+            _merge.remote(*refs[i : i + merge_fanout])
+            for i in range(0, len(refs), merge_fanout)
+        ]
+    return _finish.remote(*refs)
+
+
 def collect_sameas_lut_ref(triples: Dataset, *, merge_fanout: int = 8) -> "ray.ObjectRef":
     """Like :func:`collect_sameas_arrays`, but the tree root feeds a
     remote :func:`build_rewrite_lut` and the **ObjectRef of the finished
@@ -656,6 +702,152 @@ def canonicalize_stage(
     )
 
 
+def _drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Rebuild a dataset from its non-empty block refs (metadata-only on
+    the driver — no block bytes are fetched).
+
+    Why: Ray's sort/aggregate shuffles emit zero-row blocks for empty
+    partitions, and ``map_batches`` passes empty blocks through WITHOUT
+    calling the UDF — re-emitting them as zero-COLUMN tables.  A
+    zero-column block poisons any downstream ``Dataset.join`` (the acero
+    per-partition join raises ``No match ... for FieldRef``).  Every
+    map-before-join boundary in the joined-canonicalization path routes
+    through this filter.
+    """
+    import ray.data as rd
+
+    m = ds.materialize()
+    refs, total = [], 0
+    for b in m.iter_internal_ref_bundles():
+        for ref, meta in zip(b.block_refs, b.metadata):
+            total += 1
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs or len(refs) == total:
+        return m
+    return rd.from_arrow_refs(refs)
+
+
+def canonicalize_stage_joined(
+    triples: Dataset,
+    edges: Dataset | None = None,
+    *,
+    drop_sameas: bool = True,
+    num_partitions: int | None = None,
+    local_dedup: bool = False,
+    cc_max_iters: int = 10,
+) -> Dataset:
+    """Broadcast-free canonicalization: partitioned-join alias rewrite.
+
+    The scale escape hatch for alias sets too large to live in one plasma
+    object (ROADMAP §2; module docstring "Scale note").  The compressed
+    ``(node, root)`` edge set is closed with
+    :func:`connected_components_distributed` (hash-partitioned min-label
+    propagation — never broadcast, never on the driver) and the resulting
+    alias→canonical labels are applied with two hash-partitioned
+    LEFT OUTER joins (subject, then non-literal object) instead of a
+    broadcast LUT.  Same output as :func:`canonicalize_stage` — both pick
+    the PID-preferring lexicographic cluster minimum — but it costs two
+    all-to-all exchanges of the triple stream, so it only wins above the
+    broadcast ceiling; flagship.canonical_triples switches automatically
+    on ``cfg.canon_broadcast_max_pairs``.
+
+    Partitioning assumption: labels and triples co-partition on the join
+    key per join (Ray's hash join); driver state is O(1) scalars.
+    """
+    if edges is None:
+        edges = collect_sameas_edges(triples)
+    # empty upstream blocks would be re-emitted column-less by the maps
+    # below and poison the joins — drop them first (metadata-only)
+    triples = _drop_empty_blocks(triples)
+    if drop_sameas:
+        triples = triples.map_batches(
+            lambda t: t.filter(pc.invert(_is_sameas(t["pred"]))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    n_pairs = edges.count()
+    if n_pairs == 0:
+        if local_dedup:
+            triples = triples.map_batches(
+                local_exact_dedup, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return triples
+
+    labels = connected_components_distributed(edges, max_iters=cc_max_iters)
+
+    # acero joins require EXACT key-type equality (string vs large_string
+    # is an error, not a cast) — align the label dtype with the triples
+    sch = triples.schema()
+    key_type = dict(zip(sch.names, sch.types))["subj"]
+
+    def _alias_only(t: pa.Table) -> pa.Table:
+        # roots label themselves — joining them is wasted shuffle width
+        t = t.filter(pc.invert(pc.equal(t["node"], t["label"])))
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], key_type),
+                "label": pc.cast(t["label"], key_type),
+            }
+        )
+
+    labels = _drop_empty_blocks(
+        labels.map_batches(_alias_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if num_partitions:
+        n_parts = num_partitions
+    else:
+        # partitions beyond the schedulable aggregator-actor count
+        # DEADLOCK the hash-join on small clusters (each partition wants
+        # an aggregator actor, capped globally at 64): bound by CPUs
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            n_parts = min(max(2, triples.num_blocks()), max(2, cpus))
+        except Exception:
+            n_parts = max(2, cpus)
+
+    def _rename(dst: str, canon: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([dst, canon])
+
+        return fn
+
+    subj_lab = labels.map_batches(
+        _rename("subj", "_subj_canon"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # joins are all-to-all barriers anyway; the _drop_empty_blocks hops
+    # between them are metadata-only and keep the map outputs join-safe
+    out = _drop_empty_blocks(
+        triples.join(subj_lab, "left_outer", n_parts, on=("subj",))
+    )
+
+    def _apply_subj(t: pa.Table) -> pa.Table:
+        subj = pc.coalesce(pc.cast(t["_subj_canon"], t["subj"].type), t["subj"])
+        t = t.set_column(t.schema.get_field_index("subj"), "subj", subj)
+        return t.drop_columns(["_subj_canon"])
+
+    out = out.map_batches(_apply_subj, batch_format="pyarrow", zero_copy_batch=True)
+
+    obj_lab = labels.map_batches(
+        _rename("obj", "_obj_canon"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = _drop_empty_blocks(out.join(obj_lab, "left_outer", n_parts, on=("obj",)))
+
+    def _apply_obj(t: pa.Table) -> pa.Table:
+        # literal objects are never entity references: even on an exact
+        # string match with some alias IRI, a literal row keeps its value
+        lit = pc.cast(t["obj_is_literal"], pa.bool_())
+        canon = pc.cast(t["_obj_canon"], t["obj"].type)
+        obj = pc.if_else(lit, t["obj"], pc.coalesce(canon, t["obj"]))
+        t = t.set_column(t.schema.get_field_index("obj"), "obj", obj)
+        t = t.drop_columns(["_obj_canon"])
+        if local_dedup:
+            t = local_exact_dedup(t)
+        return t
+
+    return out.map_batches(_apply_obj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def connected_components_distributed(
     edges: Dataset, *, max_iters: int = 10
 ) -> Dataset:
@@ -692,6 +884,9 @@ def connected_components_distributed(
         t = pd.DataFrame({"node": b["root"], "peer": b["root"]})
         return pd.concat([a, c, s, t], ignore_index=True)
 
+    # drop empty edge blocks first: map_batches would re-emit them
+    # column-less (UDF skipped) and poison every join below
+    edges = _drop_empty_blocks(edges)
     und = edges.map_batches(undirect, batch_format="pandas").materialize()
 
     def keyed(b: pd.DataFrame) -> pd.DataFrame:
@@ -706,15 +901,28 @@ def connected_components_distributed(
         return ds.map_batches(fn, batch_format="pyarrow")
 
     def _min_by_node(ds: Dataset) -> Dataset:
-        return _rename(ds.groupby("node").min("label"), {"min(label)": "label"})
+        # the aggregate shuffle emits zero-row blocks for empty partitions;
+        # drop them BEFORE the rename map (which would strip their schema)
+        return _rename(
+            _drop_empty_blocks(ds.groupby("node").min("label")),
+            {"min(label)": "label"},
+        )
 
     labels = _min_by_node(und.map_batches(keyed, batch_format="pandas")).materialize()
-    n_parts = max(2, und.num_blocks())
+    # cap by CPUs: each hash-join partition wants an aggregator actor
+    # (globally capped at 64) — more partitions than schedulable actors
+    # deadlocks the join on small clusters
+    n_parts = min(
+        max(2, und.num_blocks()),
+        max(2, int(ray.cluster_resources().get("CPU", 8))),
+    )
     for _ in range(max_iters - 1):
         # propagate: each edge (node, peer) contributes label[peer] to node
         peer_labels = _rename(labels, {"node": "peer"})
-        prop = und.join(
-            peer_labels, join_type="inner", num_partitions=n_parts, on=("peer",)
+        prop = _drop_empty_blocks(
+            und.join(
+                peer_labels, join_type="inner", num_partitions=n_parts, on=("peer",)
+            )
         ).select_columns(["node", "label"])
         new_labels = _min_by_node(prop.union(labels)).materialize()
         # distributed convergence check: any node whose label shrank?

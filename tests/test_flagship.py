@@ -124,6 +124,45 @@ def test_distributed_connected_components():
     assert lut["c"] == lut["d"] == "c"
 
 
+def test_canonicalize_joined_matches_broadcast(fixture_sf0001):
+    """The partitioned-join rewrite (alias set above the broadcast
+    ceiling — ROADMAP §2) must produce byte-identical triples to the
+    broadcast hash-LUT path.  canon_broadcast_max_pairs=1 forces the
+    switch on this corpus (every alias-bearing doc yields pairs)."""
+    from scheduler_ray.config import PipelineConfig
+
+    want = (
+        flagship.run_flagship(fixture_sf0001)
+        .to_pandas()
+        .sort_values(["pred", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    cfg = PipelineConfig(canon_broadcast_max_pairs=1)
+    got = (
+        flagship.run_flagship(fixture_sf0001, cfg=cfg)
+        .to_pandas()[want.columns.tolist()]
+        .sort_values(["pred", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_canonicalize_joined_no_edges():
+    """Joined path with zero sameAs pairs: passthrough (+ sameAs drop)."""
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import canonicalize_stage_joined
+
+    tri = rd.from_items(
+        [
+            {"subj": "s1", "pred": "schema:name", "obj": "x", "graph": "g", "obj_is_literal": True},
+            {"subj": "s2", "pred": "schema:name", "obj": "y", "graph": "g", "obj_is_literal": True},
+        ]
+    )
+    out = canonicalize_stage_joined(tri, drop_sameas=True).to_pandas()
+    assert sorted(out["subj"]) == ["s1", "s2"]
+
+
 def test_distributed_cc_multiblock_chains():
     """Alias set spread over many blocks with 3-hop chains: the
     partitioned-join propagation must close every chain without any
