@@ -85,6 +85,11 @@ class PipelineConfig:
     #: canonicalization + per-block sorted hive write + merge/fixup —
     #: pipelines/streaming.py) instead of materialize→collect→rewrite
     single_pass: bool = True
+    #: file-level resume for the single-pass writer: elide puts whose
+    #: content-named target already exists (a crashed run's surviving
+    #: files are byte-identical by construction).  Off by default so a
+    #: fresh run over a dirty out_dir never silently trusts stale files.
+    file_resume: bool = False
     extra: dict = field(default_factory=dict)
 
     @classmethod

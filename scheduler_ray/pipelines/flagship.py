@@ -251,7 +251,9 @@ def run_flagship(
 
         t0 = _time.time()
         raw = raw_triples(pages, registry, sources, cfg, cache)
-        write_canonical_single_pass(raw, out_dir, drop_sameas=cfg.drop_sameas)
+        write_canonical_single_pass(
+            raw, out_dir, drop_sameas=cfg.drop_sameas, resume=cfg.file_resume
+        )
         _phase_log("single_pass_write", t0)
         return read_graph(out_dir)
 

@@ -68,6 +68,9 @@ MANIFEST_SCHEMA = pa.schema(
         ("rows", pa.int64()),
         ("stem", pa.large_string()),
         ("n_pairs", pa.int64()),
+        # True when the put was elided because an identical content-named
+        # file already existed (file-level resume)
+        ("skipped", pa.bool_()),
     ]
 )
 
@@ -75,12 +78,22 @@ PAIRS_DIR = "_pairs"
 SIDECAR_DIR = "_sidecars"
 
 
-def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table:
+def _write_block(
+    tbl: pa.Table, out_dir: str, drop_sameas: bool, fs, resume: bool = False
+) -> pa.Table:
     """The fused per-block stage: local canon → dedup → sort → write.
 
     Every per-row hash the stage needs (dedup key, content-derived file
     stem, fixup sidecar) is derived from ONE hashing pass over the four
     string columns — the columns are never hashed twice.
+
+    ``resume=True`` enables FILE-level resume (ROADMAP §4): file names
+    are content-derived (the stem is a pure function of the block's
+    rows), so a file that already exists from a previous crashed run IS
+    this block's output — the put is elided.  Assumes atomic whole-file
+    puts (true of object stores and LocalFS's tmp+rename; NoRenameFS's
+    direct-write test double can leave partials on a hard kill, which
+    the commit-manifest protocol — not resume — protects readers from).
     """
     if tbl.num_rows == 0:
         return MANIFEST_SCHEMA.empty_table()
@@ -110,7 +123,7 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table
         stem_h ^= np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
     stem = f"{int(stem_h):016x}"
     tbl = tbl.sort_by([("pred", "ascending"), ("subj", "ascending")])
-    files, preds, rows = [], [], []
+    files, preds, rows, skipped = [], [], [], []
     # split by pred → hive layout (pred column dropped from the file,
     # reconstructed from the dir name at read, like write_parquet does)
     from urllib.parse import quote
@@ -122,17 +135,24 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table
         # read_graph decodes — same convention as Ray's write_parquet
         pdir = os.path.join(out_dir, f"pred={quote(p, safe='')}")
         path = os.path.join(pdir, f"part-{stem}.parquet")
-        fs.put_table(part, path)
+        skip = resume and fs.exists(path)
+        if not skip:
+            fs.put_table(part, path)
         files.append(path)
         preds.append(p)
         rows.append(part.num_rows)
+        skipped.append(skip)
     if pairs.num_rows:
-        fs.put_table(pairs, os.path.join(out_dir, PAIRS_DIR, f"pairs-{stem}.parquet"))
+        ppath = os.path.join(out_dir, PAIRS_DIR, f"pairs-{stem}.parquet")
+        if not (resume and fs.exists(ppath)):
+            fs.put_table(pairs, ppath)
     import io
 
-    buf = io.BytesIO()
-    np.save(buf, distinct)
-    fs.put_bytes(os.path.join(out_dir, SIDECAR_DIR, f"{stem}.npy"), buf.getvalue())
+    spath = os.path.join(out_dir, SIDECAR_DIR, f"{stem}.npy")
+    if not (resume and fs.exists(spath)):
+        buf = io.BytesIO()
+        np.save(buf, distinct)
+        fs.put_bytes(spath, buf.getvalue())
     return pa.table(
         {
             "file": pa.array(files, pa.large_string()),
@@ -140,6 +160,7 @@ def _write_block(tbl: pa.Table, out_dir: str, drop_sameas: bool, fs) -> pa.Table
             "rows": pa.array(rows, pa.int64()),
             "stem": pa.array([stem] * len(files), pa.large_string()),
             "n_pairs": pa.array([pairs.num_rows] * len(files), pa.int64()),
+            "skipped": pa.array(skipped, pa.bool_()),
         }
     )
 
@@ -364,13 +385,16 @@ def write_canonical_single_pass(
     *,
     drop_sameas: bool = True,
     fs=None,
+    resume: bool = False,
 ) -> dict:
     """Stream linked raw triples into a canonical hive-partitioned graph
     in ONE pass (+ a fixup touching only files that cross-batch sameAs
     chains actually affect).  ``fs`` selects the filesystem seam
     (``LocalFS`` default; ``NoRenameFS`` for object-store semantics —
     the commit manifest, written LAST, is the only atomicity the
-    protocol needs).  Returns a summary dict."""
+    protocol needs).  ``resume=True`` elides puts whose content-named
+    target already exists (file-level resume after a crash before the
+    commit — see _write_block).  Returns a summary dict."""
     from .flagship import _phase_log
     import time as _time
 
@@ -378,7 +402,7 @@ def write_canonical_single_pass(
     os.makedirs(out_dir, exist_ok=True)
 
     def stage(tbl: pa.Table) -> pa.Table:
-        return _write_block(tbl, out_dir, drop_sameas, fs)
+        return _write_block(tbl, out_dir, drop_sameas, fs, resume)
 
     # Stream the manifest blocks back as they complete: each block's pair
     # sidecar is fed to the incremental worker-side tree merge, so the LUT
@@ -462,4 +486,5 @@ def write_canonical_single_pass(
         "files": int(len(manifests)),
         "rows": int(manifests["rows"].sum()) if len(manifests) else 0,
         "fixed_files": int(fixed),
+        "skipped_files": int(manifests["skipped"].sum()) if len(manifests) else 0,
     }

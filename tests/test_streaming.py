@@ -101,6 +101,42 @@ def test_single_pass_rerun_idempotent(fixture_sf0001, tmp_out):
     assert files1 == files2
 
 
+def test_file_level_resume_skips_existing(tmp_out):
+    """resume=True elides puts whose content-named target exists: after a
+    simulated crash (files written, commit manifest deleted) the re-run
+    must skip every data-file put (mtimes untouched) and still commit an
+    identical readable graph (ROADMAP §4 file-level resume)."""
+    import os
+
+    from scheduler_ray.state.fs import LocalFS, read_commit_manifest
+
+    b = _tbl(
+        [
+            ("https://pids.geoconnex.dev/x/1", "schema:name", "F1", True, "s"),
+            ("https://pids.geoconnex.dev/x/2", "rdf:type", "hyf:HY_HydroLocation", False, "s"),
+        ]
+    )
+    ds = rd.from_arrow([b])
+    s1 = write_canonical_single_pass(ds, tmp_out, drop_sameas=True)
+    assert s1["skipped_files"] == 0
+    data_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_out)
+        for f in fs
+        if f.endswith(".parquet") and "pred=" in r
+    )
+    mtimes = {p: os.stat(p).st_mtime_ns for p in data_files}
+    # simulated crash after the data puts but before the commit
+    os.remove(os.path.join(tmp_out, "_MANIFEST.json"))
+    ds2 = rd.from_arrow([b])
+    s2 = write_canonical_single_pass(ds2, tmp_out, drop_sameas=True, resume=True)
+    assert s2["skipped_files"] == s2["files"] == len(data_files)
+    assert {p: os.stat(p).st_mtime_ns for p in data_files} == mtimes
+    assert read_commit_manifest(LocalFS(), tmp_out) is not None
+    got = flagship.read_graph(tmp_out).to_pandas()
+    assert _tripleset(got) == _tripleset(b.to_pandas())
+
+
 def test_cross_batch_fixup_at_volume(tmp_out):
     """200 sameAs chains split so every hop lands in a different block,
     plus cross-document references to other docs' aliases: the global
