@@ -120,6 +120,10 @@ def run_bench() -> dict:
         ).count()
         queries["kg_raw_triples"] = round(time.time() - t0, 3)
 
+    stages = {}
+    if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
+        stages = stage_microbench(fx, index_ref)
+
     ray.shutdown()
     return {
         "metric": "flagship_kg_wall_sec",
@@ -134,6 +138,68 @@ def run_bench() -> dict:
         "amplify": AMPLIFY,
         "page_kb": PAGE_KB,
         "corpus_shape": CORPUS_SHAPE,
+        "stages": stages,
+    }
+
+
+def stage_microbench(fx: str, index_ref, batch_rows: int = 4096) -> dict:
+    """Single-threaded per-batch kernel timings (min-of-5) over ONE
+    production-sized batch, so a regression in any one operator is
+    attributable from the bench JSON alone (ROADMAP §5).  Values are
+    seconds per batch plus derived rows/sec of the stage's INPUT unit
+    (pages for extract/expand, triples for link/write)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from scheduler_ray.pipelines.streaming import _write_block
+    from scheduler_ray.stages.extract import extract_jsonld_batch
+    from scheduler_ray.stages.expand import expand_triples_batch
+    from scheduler_ray.stages.link import (
+        INDEX_CACHE_NAME,
+        build_or_load_index,
+        link_triples_batch,
+    )
+    from scheduler_ray.state.fs import LocalFS
+
+    pages = pq.read_table(f"{fx}/pages").slice(0, batch_rows)
+    index = (
+        ray.get(index_ref)
+        if index_ref is not None
+        else build_or_load_index(f"{fx}/registry.parquet", f"{fx}/{INDEX_CACHE_NAME}")
+    )
+    import pandas as pd
+
+    sources = pq.read_table(f"{fx}/sources.parquet").to_pandas()
+    enabled = dict(zip(sources["source_id"], sources["add_associated_mainstems"]))
+
+    def _min_of(fn, reps: int = 5):
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        return best, out
+
+    t_extract, extracted = _min_of(lambda: extract_jsonld_batch(pages))
+    t_expand, expanded = _min_of(lambda: expand_triples_batch(extracted, validate=True))
+    t_link, linked = _min_of(lambda: link_triples_batch(expanded, index, enabled))
+    tmp = tempfile.mkdtemp(prefix="scheduler_ray_ubench_")
+    fs = LocalFS()
+    t_write, _ = _min_of(lambda: _write_block(linked, tmp, True, fs))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "batch_pages": pages.num_rows,
+        "batch_triples": linked.num_rows,
+        "extract_sec": round(t_extract, 4),
+        "expand_sec": round(t_expand, 4),
+        "link_sec": round(t_link, 4),
+        "write_block_sec": round(t_write, 4),
+        "extract_pages_per_sec": round(pages.num_rows / max(t_extract, 1e-9)),
+        "expand_pages_per_sec": round(pages.num_rows / max(t_expand, 1e-9)),
+        "link_triples_per_sec": round(linked.num_rows / max(t_link, 1e-9)),
+        "write_triples_per_sec": round(linked.num_rows / max(t_write, 1e-9)),
     }
 
 
