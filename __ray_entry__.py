@@ -74,6 +74,19 @@ def _q_kg_canonical(sf_dir: str):
     return flagship.run_flagship(fx, out_dir=out)
 
 
+def _q_kg_canonical_joined(sf_dir: str):
+    """Canonical graph via the broadcast-FREE partitioned-join rewrite
+    (canonicalize_stage_joined, forced with canon_broadcast_max_pairs=1):
+    the 10^12-doc escape hatch for alias sets too large for one plasma
+    object — distributed CC + two hash joins, same golden triples."""
+    from scheduler_ray.config import PipelineConfig
+
+    fx = _fixture(sf_dir)
+    cfg = PipelineConfig(canon_broadcast_max_pairs=1)
+    ds = flagship.run_flagship(fx, cfg=cfg)
+    return ds.select_columns(["subj", "pred", "obj", "obj_is_literal", "graph"])
+
+
 def _q_kg_pred_counts(sf_dir: str):
     ds = _q_kg_canonical(sf_dir)
     return ds.groupby("pred").aggregate(Count(alias_name="n"))
@@ -117,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sources": _q_kg_sources,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_canonical_triples": _q_kg_canonical,
+        "kg_canonical_joined": _q_kg_canonical_joined,
         "kg_pred_counts": _q_kg_pred_counts,
         "kg_cleanup_antijoin": _q_kg_cleanup,
         "kg_merge_dedup": _q_kg_merge_dedup,
@@ -153,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_counts": q.q_label_counts,
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
+        "feature_table_grouped": q.q_feature_table_grouped,
         "feature_mercator": q.q_feature_mercator,
         "kg_index_lookup": q.q_kg_index_lookup,
         "spatial_join": q.q_spatial_join,
@@ -171,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sources": oracles.SOURCES_SQL,
         "kg_triples_raw": oracles.RAW_TRIPLES_SQL,
         "kg_canonical_triples": oracles.CANONICAL_TRIPLES_SQL,
+        "kg_canonical_joined": oracles.CANONICAL_TRIPLES_SQL,
         "kg_pred_counts": oracles.PRED_COUNTS_SQL,
         "kg_cleanup_antijoin": oracles.CLEANUP_SQL,
         "kg_merge_dedup": oracles.MERGE_DEDUP_SQL,
@@ -202,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": q.SQL_CURATION_PIPELINE,
         "label_counts": q.SQL_LABEL_COUNTS,
         "feature_table": q.sql_feature_table(),
+        "feature_table_grouped": q.sql_feature_table(),
         "feature_mercator": q.sql_feature_mercator(),
         "kg_index_lookup": q.sql_kg_index_lookup(),
         "spatial_join": q.SQL_SPATIAL_JOIN,

@@ -91,14 +91,113 @@ def wkb_point(x: float, y: float) -> bytes:
     return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
 
 
-def feature_table(canon: Dataset) -> Dataset:
+def _pivot_grouped(canon: Dataset) -> Dataset:
+    """Contiguity-free partial pivot (ROADMAP §4): resolves the geo
+    blank node → feature edge with a hash-partitioned join instead of
+    the batch-local map, so a document's rows may be scattered across
+    arbitrary batches (e.g. when pivoting pred-partitioned files).
+
+    Costs one shuffle of the (pruned) coordinate rows — use the default
+    contiguous pivot when the stream preserves document locality.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..stages.canonicalize import _drop_empty_blocks
+
+    field_preds = pa.array(sorted(_FIELD_PREDS), pa.large_string())
+    geo_preds = pa.array(sorted(_GEO_PREDS), pa.large_string())
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.is_in(t["pred"], value_set=field_preds),
+            pc.is_in(t["pred"], value_set=geo_preds),
+        )
+        return t.filter(keep)
+
+    kept = _drop_empty_blocks(
+        canon.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_parts = min(
+        max(2, kept.num_blocks()),
+        max(2, int(ray.cluster_resources().get("CPU", 8))),
+    )
+
+    def geo_edges(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.is_in(t["pred"], value_set=geo_preds))
+        return pa.table(
+            {
+                "subj": pc.cast(g["obj"], pa.large_string()),
+                "_owner": pc.cast(g["subj"], pa.large_string()),
+            }
+        )
+
+    edges = _drop_empty_blocks(
+        kept.map_batches(geo_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def field_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["pred"], value_set=field_preds))
+        return pa.table(
+            {
+                "subj": pc.cast(f["subj"], pa.large_string()),
+                "pred": pc.cast(f["pred"], pa.large_string()),
+                "obj": pc.cast(f["obj"], pa.large_string()),
+                "graph": pc.cast(f["graph"], pa.large_string()),
+            }
+        )
+
+    fields = _drop_empty_blocks(
+        kept.map_batches(field_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def split_blank(want_blank: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            blank = pc.starts_with(t["subj"], pattern="_:")
+            return t.filter(blank if want_blank else pc.invert(blank))
+
+        return fn
+
+    direct = fields.map_batches(
+        split_blank(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    blanks = _drop_empty_blocks(
+        fields.map_batches(split_blank(True), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # inner join: orphan blanks (no geo edge anywhere) drop, matching the
+    # contiguous pivot's owner.notna() filter
+    resolved = _drop_empty_blocks(blanks.join(edges, "inner", n_parts, on=("subj",)))
+
+    def rekey(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("subj")
+        t = t.set_column(i, "subj", pc.cast(t["_owner"], pa.large_string()))
+        return t.drop_columns(["_owner"]).select(["subj", "pred", "obj", "graph"])
+
+    owned = resolved.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+    # blank-free stream → the batch-local pivot is now assumption-free
+    return direct.union(owned).map_batches(_pivot_partial, batch_format="pandas")
+
+
+def feature_table(canon: Dataset, *, pivot_mode: str = "contiguous") -> Dataset:
     """Canonical triples → one feature row per subject.
 
     Partial pivot per batch, then ``groupby(subj)`` merging with Max —
     every field is single-valued per subject, so Max acts as coalesce
     (non-null wins over null) while staying a combiner-friendly aggregate.
+
+    ``pivot_mode="contiguous"`` (default) assumes a document's rows are
+    batch-contiguous (true of the expansion/canonicalization stream);
+    ``"grouped"`` drops that assumption via a join-based blank-node
+    resolution (one extra shuffle of the pruned coordinate rows).
     """
-    partial = canon.map_batches(_pivot_partial, batch_format="pandas")
+    if pivot_mode == "grouped":
+        partial = _pivot_grouped(canon)
+    elif pivot_mode == "contiguous":
+        partial = canon.map_batches(_pivot_partial, batch_format="pandas")
+    else:
+        raise ValueError(f"unknown pivot_mode: {pivot_mode!r}")
     merged = partial.groupby("id").aggregate(
         Max("geoconnex_sitemap", alias_name="geoconnex_sitemap"),
         Max("feature_name", alias_name="feature_name"),

@@ -266,6 +266,37 @@ def test_feature_table_pivot(fixture_sf0001):
     assert row["geometry"][:1] == b"\x01" and "hilbert" in feats
 
 
+def test_feature_table_grouped_pivot_contiguity_free(fixture_sf0001):
+    """pivot_mode='grouped' must reproduce the contiguous pivot even when
+    every document's rows are scattered across batches (the contiguous
+    mode's documented assumption, dropped via the join-based blank
+    resolution — ROADMAP §4)."""
+    import ray.data as rd
+
+    from scheduler_ray.pipelines import export as ex
+    from scheduler_ray.pipelines import flagship
+
+    canon = flagship.run_flagship(fixture_sf0001).materialize()
+    want = (
+        ex.feature_table(canon)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # destroy document locality: global sort by object value splits every
+    # doc's rows across range partitions
+    scattered = canon.sort("obj").materialize()
+    got = (
+        ex.feature_table(scattered, pivot_mode="grouped")
+        .to_pandas()[want.columns.tolist()]
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_validate_stage_strict_raises(fixture_sf0001):
     """--exit-on-shacl-failure semantics: strict mode fails the job on the
     first violating batch (malformed docs exist in the corpus)."""
