@@ -22,8 +22,11 @@ sets, satisfied if ANY alternative passes) and ``sh:severity``
 ``warnings`` column and do NOT gate validity; only ``sh:Violation``
 does, matching SHACL conformance semantics) — and, since round 4,
 ``sh:minCount``>1 / ``sh:maxCount`` (value-node cardinality), ``sh:not``
-(a value must NOT satisfy the negated constraint set) and ``sh:xone``
-(EXACTLY one alternative must be satisfied).
+(a value must NOT satisfy the negated constraint set), ``sh:xone``
+(EXACTLY one alternative must be satisfied), and ``sh:closed`` /
+``sh:ignoredProperties`` (closed-world node shapes: undeclared
+properties are violations; ingested from shapes graphs via
+:class:`ShapeSet`).
 """
 
 from __future__ import annotations
@@ -142,6 +145,25 @@ class PropertyShape:
         return tmp
 
 
+class ShapeSet(tuple):
+    """A tuple of PropertyShapes that can additionally carry NODE-level
+    closed-world metadata (``sh:closed`` / ``sh:ignoredProperties``).
+
+    Subclassing tuple keeps every existing call site working (unpacking,
+    iteration, passing plain tuples remains valid — closure simply reads
+    as off via ``getattr`` defaults)."""
+
+    closed: bool = False
+    ignored: frozenset = frozenset()
+
+    @classmethod
+    def make(cls, shapes, *, closed: bool = False, ignored=()) -> "ShapeSet":
+        s = cls(shapes)
+        s.closed = bool(closed)
+        s.ignored = frozenset(ignored)
+        return s
+
+
 #: the shape the synthetic Geoconnex-like feature documents must satisfy
 #: (mirrors the hyf:HY_HydroLocation payload asserted by the reference's
 #: golden tests, userCode/defs_test.py:104-130)
@@ -233,11 +255,24 @@ def validate_parsed(
     if not isinstance(doc, dict):
         return ["not-an-object"]
     out: list[str] = []
+    # sh:closed (round 4): when the shape set is closed, a node may only
+    # use declared paths + @id/@type + sh:ignoredProperties (JSON-LD
+    # structural keys @context/@graph are document-level, not node
+    # properties, and stay allowed)
+    closed = getattr(shapes, "closed", False)
+    if closed:
+        allowed = (
+            {s.path for s in shapes}
+            | {"@id", "@type", "@context", "@graph"}
+            | set(getattr(shapes, "ignored", ()))
+        )
     nodes = doc.get("@graph")
     for node in nodes if isinstance(nodes, list) else [doc]:
         if not isinstance(node, dict):
             out.append("bad-node")
             continue
+        if closed:
+            out.extend(f"closed:{k}" for k in node if k not in allowed)
         is_edge_only = set(node.keys()) <= {"@id", "owl:sameAs"}
         for shape in shapes:
             if is_edge_only and shape.path not in node and shape.path != "@id":
@@ -245,6 +280,13 @@ def validate_parsed(
             shape.check(node, out, warnings)
         geo = node.get("schema:geo")
         if isinstance(geo, dict):
+            if getattr(geo_shapes, "closed", False):
+                g_allowed = (
+                    {s.path for s in geo_shapes}
+                    | {"@id", "@type"}
+                    | set(getattr(geo_shapes, "ignored", ()))
+                )
+                out.extend(f"closed:geo:{k}" for k in geo if k not in g_allowed)
             for shape in geo_shapes:
                 shape.check(geo, out, warnings)
     return out
@@ -351,6 +393,8 @@ def parse_shacl_shapes(doc: "dict | str") -> tuple[tuple[PropertyShape, ...], tu
         nodes = [doc]
     shapes: list[PropertyShape] = []
     geo_shapes: list[PropertyShape] = []
+    closed = {"doc": False, "geo": False}
+    ignored = {"doc": set(), "geo": set()}
     for node in nodes:
         if not isinstance(node, dict):
             continue
@@ -359,12 +403,24 @@ def parse_shacl_shapes(doc: "dict | str") -> tuple[tuple[PropertyShape, ...], tu
         if not any("NodeShape" in str(t) for t in types):
             continue
         ident = str(node.get("@id", "")) + str(node.get("sh:targetClass", ""))
-        target = geo_shapes if "geo" in ident.lower() else shapes
+        kind = "geo" if "geo" in ident.lower() else "doc"
+        target = geo_shapes if kind == "geo" else shapes
         props = node.get("sh:property", [])
         for p in props if isinstance(props, list) else [props]:
             if isinstance(p, dict) and p.get("sh:path"):
                 target.append(_shacl_prop_to_shape(p))
-    return tuple(shapes), tuple(geo_shapes)
+        # sh:closed / sh:ignoredProperties (round 4 — closed-world shapes)
+        if node.get("sh:closed") in (True, "true"):
+            closed[kind] = True
+        ig = node.get("sh:ignoredProperties", [])
+        for item in ig if isinstance(ig, list) else [ig]:
+            ignored[kind].add(
+                str(item.get("@id")) if isinstance(item, dict) else str(item)
+            )
+    return (
+        ShapeSet.make(shapes, closed=closed["doc"], ignored=ignored["doc"]),
+        ShapeSet.make(geo_shapes, closed=closed["geo"], ignored=ignored["geo"]),
+    )
 
 
 class ShaclValidator:

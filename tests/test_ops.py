@@ -502,6 +502,56 @@ def test_nearest_polyline_golden():
     assert np.allclose(dist, [1.0, 1.0, 1.0, 10.0])
 
 
+def test_shacl_closed_world_shapes():
+    """Round-4 sh:closed / sh:ignoredProperties: a closed node shape
+    rejects undeclared properties; ignored properties and @id/@type stay
+    allowed; plain (non-closed) shape tuples are unaffected."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:ClosedFeatureShape",
+                "@type": "sh:NodeShape",
+                "sh:targetClass": "hyf:HY_HydroLocation",
+                "sh:closed": True,
+                "sh:ignoredProperties": [{"@id": "schema:geo"}],
+                "sh:property": [
+                    {"sh:path": "@id", "sh:minCount": 1, "sh:nodeKind": "sh:IRI"},
+                    {"sh:path": "schema:name", "sh:minCount": 1,
+                     "sh:datatype": "xsd:string"},
+                ],
+            }
+        ]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+    assert shapes.closed and "schema:geo" in shapes.ignored
+    good = json.dumps({
+        "@id": "https://p/1",
+        "@type": "hyf:HY_HydroLocation",
+        "schema:name": "Gauge",
+        "schema:geo": {"schema:latitude": 1, "schema:longitude": 2},
+    })
+    assert validate_doc(good, shapes, geo) == []
+    extra = json.dumps({
+        "@id": "https://p/1",
+        "schema:name": "Gauge",
+        "schema:color": "blue",
+    })
+    assert validate_doc(extra, shapes, geo) == ["closed:schema:color"]
+    # non-closed tuples (the built-in shapes) never run the closed check
+    from scheduler_ray.stages.validate import HYDRO_LOCATION_SHAPE
+
+    assert not getattr(HYDRO_LOCATION_SHAPE, "closed", False)
+    # ShapeSet survives pickling with its closure metadata (broadcast path)
+    import pickle
+
+    s2 = pickle.loads(pickle.dumps(shapes))
+    assert s2.closed and "schema:geo" in s2.ignored
+
+
 def test_shacl_class_or_node_severity():
     """Round-3 SHACL extensions: sh:class, sh:node (nested property
     shapes), sh:or (alternatives), sh:severity (warnings don't gate
