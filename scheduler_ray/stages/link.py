@@ -22,7 +22,9 @@ index anti-scaled with pool size):
   (``pd.util.hash_array`` — deterministic across processes),
 * CSR postings (offsets + flat row ids) with a document-frequency cutoff
   (stop-band pruning, the token-blocking analogue of minhash banding),
-* registry ids / mainstem URIs as pyarrow ``large_string`` arrays.
+* registry ids prefix-pooled (dictionary head + short tail) and mainstem
+  URIs dictionary-coded — per-row strings rebuilt lazily only for
+  MATCHED mentions (round-4 broadcast compaction).
 
 Candidate generation + Jaccard scoring + per-mention argmax are fully
 vectorized over the whole batch (numpy), with a deterministic tie-break.
@@ -52,8 +54,9 @@ LAT_PREDS = ("schema:latitude", "https://schema.org/latitude")
 LON_PREDS = ("schema:longitude", "https://schema.org/longitude")
 
 #: cache file name for the pickled registry index — versioned so older
-#: caches (without the polygon/flowline geometry) are never reused
-INDEX_CACHE_NAME = "registry_index_v4.pkl"
+#: caches (without the polygon/flowline geometry / the v5 compaction)
+#: are never reused
+INDEX_CACHE_NAME = "registry_index_v5.pkl"
 
 #: the reference's mainstem hydrofabric source (S7, reference
 #: userCode/assetGroups/config.py:47-51)
@@ -111,9 +114,29 @@ class RegistryIndex:
 
     def __init__(self, registry: pd.DataFrame):
         n = len(registry)
-        self.ids: pa.Array = pa.Array.from_pandas(registry["id"], type=pa.large_string())
+        # broadcast-byte compaction (round 4, ROADMAP §1 "shrink
+        # bytes/row"): ids are prefix-pooled (PID URIs share their
+        # head+'/'; only the short tail is stored per row) and mainstem
+        # URIs are dictionary-coded (few distinct mainstems serve many
+        # features).  Per-row strings are reconstructed lazily in
+        # id_at()/mainstem_at() — only for MATCHED mentions (≈1/doc).
+        ids_pd = registry["id"].astype(str)
+        parts = ids_pd.str.rpartition("/")
+        pref_codes, pref_uniq = pd.factorize(parts[0] + parts[1])
+        if len(pref_uniq) <= 60000:
+            self._id_prefixes: tuple[str, ...] = tuple(pref_uniq)
+            self._id_prefix_codes = pref_codes.astype(np.int32)
+            self._id_suffix: pa.Array = pa.array(parts[2], pa.string())
+            self.ids: pa.Array | None = None
+        else:  # pathological registry (no shared structure): store plain
+            self._id_prefixes = ()
+            self._id_prefix_codes = np.array([], np.int32)
+            self._id_suffix = pa.array([], pa.string())
+            self.ids = pa.Array.from_pandas(ids_pd, type=pa.large_string())
         ms = registry["mainstem_uri"] if "mainstem_uri" in registry else pd.Series([None] * n)
-        self.mainstems: pa.Array = pa.Array.from_pandas(ms, type=pa.large_string())
+        ms_codes, ms_uniq = pd.factorize(ms)  # None → code -1
+        self._ms_codes = ms_codes.astype(np.int32)
+        self._ms_uniq: tuple = tuple(ms_uniq)
         tok_lists = registry["feature_name"].str.lower().str.findall(_TOKEN_RE)
         ex = tok_lists.explode().dropna()
         pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy(object)})
@@ -126,8 +149,9 @@ class RegistryIndex:
         r_order = np.lexsort((h, rows))
         r_rows, r_h = rows[r_order], h[r_order]
         row_counts = np.bincount(r_rows, minlength=n)
-        self.row_tok_offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(row_counts, out=self.row_tok_offsets[1:])
+        row_tok_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(row_counts, out=row_tok_offsets[1:])
+        self.row_tok_offsets = row_tok_offsets.astype(np.int32)
         self.row_tok_hashes = r_h
         order = np.argsort(h, kind="stable")
         h, rows = h[order], rows[order]
@@ -137,8 +161,9 @@ class RegistryIndex:
         keep = counts <= cutoff
         self.vocab = vocab[keep]
         kept_counts = counts[keep]
-        self.offsets = np.zeros(len(self.vocab) + 1, np.int64)
-        np.cumsum(kept_counts, out=self.offsets[1:])
+        offsets = np.zeros(len(self.vocab) + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        self.offsets = offsets.astype(np.int32)
         # h is sorted, so token groups are contiguous: one boolean gather
         self.flat = rows[np.repeat(keep, counts)]
         # Jaccard is scored over DISCRIMINATIVE tokens only (both sides
@@ -154,13 +179,17 @@ class RegistryIndex:
         if "ring_wkb" in registry.columns:
             from .spatial import GridPolygonIndex
 
+            # row indices as grid ids: full PID strings resolve via
+            # id_at(), so the polygon index never duplicates them
             self.spatial = GridPolygonIndex(
-                registry["id"].to_numpy(), registry["ring_wkb"]
+                np.arange(n, dtype=np.int64), registry["ring_wkb"]
             )
         elif bbox_cols <= set(registry.columns):
             from .spatial import GridBBoxIndex
 
-            self.spatial = GridBBoxIndex(registry, id_col="id")
+            # exact f64 boxes (the bbox test IS the verify here), but no
+            # duplicate id strings — rows resolve via id_at()
+            self.spatial = GridBBoxIndex(registry, id_col="id", store_ids=False)
         # nearest-flowline index (round-4 verdict item 6): the mainstem
         # association is resolved GEOMETRICALLY — the feature point's
         # nearest flowline (grid-pruned candidates + exact point-to-
@@ -168,7 +197,7 @@ class RegistryIndex:
         # attribute remains the fallback for rows without nearby
         # flowline geometry (reference defs_test.py:75-80,120-127).
         self.flowlines = None
-        self.flowline_uris: np.ndarray | None = None
+        self._fl_uri_codes: np.ndarray | None = None
         if "flowline_wkb" in registry.columns:
             fl = registry["flowline_wkb"].notna().to_numpy()
             if fl.any():
@@ -178,9 +207,30 @@ class RegistryIndex:
                 self.flowlines = GridPolylineIndex(
                     rows, registry["flowline_wkb"].to_numpy(object)[rows]
                 )
-                self.flowline_uris = (
-                    registry["mainstem_uri"].to_numpy(object)[rows]
-                )
+                # flowline URIs are mainstem URIs — share the dictionary
+                self._fl_uri_codes = self._ms_codes[rows]
+
+    # ---- lazy per-row string accessors (compact broadcast storage) ----
+
+    def id_at(self, i: int) -> str:
+        if self.ids is not None:
+            return self.ids[i].as_py()
+        return (
+            self._id_prefixes[self._id_prefix_codes[i]]
+            + self._id_suffix[i].as_py()
+        )
+
+    def mainstem_at(self, i: int) -> "str | None":
+        c = int(self._ms_codes[i])
+        v = self._ms_uniq[c] if c >= 0 else None
+        return None if v is None or (isinstance(v, float)) else v
+
+    def flowline_uri_at(self, j: int) -> "str | None":
+        if self._fl_uri_codes is None:
+            return None
+        c = int(self._fl_uri_codes[j])
+        v = self._ms_uniq[c] if c >= 0 else None
+        return None if v is None or (isinstance(v, float)) else v
 
     def link_spatial_batch(
         self,
@@ -234,9 +284,8 @@ class RegistryIndex:
                     if sc >= min_score:
                         gi = int(pt_idx[pi])
                         matched[gi] = True
-                        pids[gi] = self.ids[int(box)].as_py()
-                        v = self.mainstems[int(box)]
-                        mainstems[gi] = None if not v.is_valid else v.as_py()
+                        pids[gi] = self.id_at(int(box))
+                        mainstems[gi] = self.mainstem_at(int(box))
                         if mainstems[gi] is not None and self.flowlines is not None:
                             refine.append((int(pi), gi))
                 # nearest-flowline association (J1 geometry-true mainstem):
@@ -248,7 +297,7 @@ class RegistryIndex:
                     line, _dist = self.flowlines.nearest(xs[r_pi], ys[r_pi])
                     for (_, gi), ln in zip(refine, line):
                         if ln >= 0:
-                            mainstems[gi] = self.flowline_uris[int(ln)]
+                            mainstems[gi] = self.flowline_uri_at(int(ln))
         # fallback: token blocking for everything unresolved
         rest = np.flatnonzero(~matched)
         if len(rest):
@@ -333,9 +382,8 @@ class RegistryIndex:
         matched = np.zeros(m, bool)
         matched[best_mentions] = True
         for mi, ci in zip(best_mentions, best_cands):
-            pids[mi] = self.ids[int(ci)].as_py()
-            v = self.mainstems[int(ci)]
-            mainstems[mi] = None if not v.is_valid else v.as_py()
+            pids[mi] = self.id_at(int(ci))
+            mainstems[mi] = self.mainstem_at(int(ci))
         return matched, pids, mainstems
 
     def link(self, name: str, min_score: float = 0.5):
