@@ -155,7 +155,7 @@ def load_sources_only(fixture_dir: str) -> pd.DataFrame:
     return pq.read_table(f"{fixture_dir}/sources.parquet").to_pandas()
 
 
-def read_graph(out_dir: str) -> Dataset:
+def read_graph(out_dir: str, fs=None) -> Dataset:
     """Read a written graph back with the exact TRIPLE_SCHEMA dtypes (hive
     partition columns come back as plain string — recast).
 
@@ -164,20 +164,32 @@ def read_graph(out_dir: str) -> Dataset:
     fixup/compaction window (old + new file both on disk) is invisible,
     matching the writer's commit protocol.  The ``pred`` hive value is
     reconstructed from each file's path (explicit file lists bypass
-    pyarrow's hive inference)."""
+    pyarrow's hive inference).
+
+    ``fs`` selects the filesystem seam the graph was written through
+    (default LocalFS): the commit manifest is read via the seam, and an
+    ``FsspecFS`` routes the parquet reads through the corresponding
+    pyarrow filesystem — the full write→commit→read round trip runs on
+    a pure object store with no local-path assumption."""
     import os
 
     from ..stages.expand import TRIPLE_SCHEMA
-    from ..state.fs import LocalFS, read_commit_manifest
+    from ..state.fs import FsspecFS, LocalFS, read_commit_manifest
 
-    man = read_commit_manifest(LocalFS(), out_dir)
+    fs = fs or LocalFS()
+    pa_fs = None
+    if isinstance(fs, FsspecFS):
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        pa_fs = PyFileSystem(FSSpecHandler(fs.fs))
+    man = read_commit_manifest(fs, out_dir)
     if man is not None:
         paths = [os.path.join(out_dir, f) for f in man["files"]]
         if not paths:
             return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
-        ds = rd.read_parquet(paths, include_paths=True)
+        ds = rd.read_parquet(paths, include_paths=True, filesystem=pa_fs)
     else:
-        ds = rd.read_parquet(out_dir)
+        ds = rd.read_parquet(out_dir, filesystem=pa_fs)
 
     def cast(t: pa.Table) -> pa.Table:
         from urllib.parse import unquote

@@ -265,6 +265,13 @@ def test_no_rename_fs_and_commit_manifest(tmp_out, fs_kind):
     got = _tripleset(flagship.read_graph(tmp_out).to_pandas())
     assert (PID, "schema:name", "Feature 1", True, "s") in got
     assert (PID, "rdf:type", "hyf:HY_HydroLocation", False, "s") in got
+    # read back THROUGH the same seam (manifest via fs, parquet via the
+    # fsspec-backed pyarrow filesystem): identical triples, and an
+    # uncommitted garbage file stays invisible
+    fs.put_bytes(os.path.join(tmp_out, "pred=junk", "part-dead.parquet"), b"junk")
+    got_fs = _tripleset(flagship.read_graph(tmp_out, fs=fs).to_pandas())
+    assert got_fs == got
+    fs.delete(os.path.join(tmp_out, "pred=junk", "part-dead.parquet"))
     # compaction against the same shim keeps the manifest in sync
     from scheduler_ray.pipelines.streaming import compact_partitions
 
