@@ -147,6 +147,85 @@ def test_canonicalize_joined_matches_broadcast(fixture_sf0001):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_canonicalize_joined_adversarial_topologies():
+    """Joined rewrite vs broadcast rewrite on alias graphs the corpus
+    never produces: a 2-cycle, a diamond (two parents one child), a
+    two-PID cluster, and a chain whose hops live in different blocks.
+    Both paths must pick the same PID-preferring canonical."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import (
+        CanonicalRewriter,
+        canonicalize_stage_joined,
+        collect_sameas_arrays,
+    )
+
+    P1 = "https://pids.geoconnex.dev/a/1"
+    P2 = "https://pids.geoconnex.dev/a/2"
+
+    def _t(rows):
+        subj, pred, obj = zip(*rows)
+        n = len(rows)
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.large_string()),
+                "pred": pa.array(pred, pa.large_string()),
+                "obj": pa.array(obj, pa.large_string()),
+                "obj_is_literal": pa.array([False] * n, pa.bool_()),
+                "graph": pa.array(["g"] * n, pa.large_string()),
+            }
+        )
+
+    blocks = [
+        _t([  # 2-cycle (no PID): lexicographic minimum wins
+            ("https://x.example/cyc1", "owl:sameAs", "https://x.example/cyc2"),
+            ("https://x.example/cyc2", "owl:sameAs", "https://x.example/cyc1"),
+            ("https://x.example/cyc2", "rdf:type", "hyf:HY_HydroLocation"),
+        ]),
+        _t([  # diamond: two aliases of the same PID, one referenced
+            ("https://x.example/d1", "owl:sameAs", P1),
+            ("https://x.example/d2", "owl:sameAs", P1),
+            ("https://x.example/d1", "schema:about", "https://x.example/d2"),
+        ]),
+        _t([  # two PIDs merged: smallest PID wins deterministically
+            (P2, "owl:sameAs", P1),
+            (P2, "rdf:type", "hyf:HY_HydroLocation"),
+        ]),
+        _t([  # 3-hop chain, each hop in ITS OWN block (continued below)
+            ("https://x.example/c0", "owl:sameAs", "https://x.example/c1"),
+        ]),
+        _t([
+            ("https://x.example/c1", "owl:sameAs", "https://x.example/c2"),
+        ]),
+        _t([
+            ("https://x.example/c2", "owl:sameAs", P2),
+            ("https://x.example/c0", "rdf:type", "hyf:HY_HydroLocation"),
+        ]),
+    ]
+    tri = rd.from_arrow(blocks)
+    got = (
+        canonicalize_stage_joined(tri, drop_sameas=True)
+        .to_pandas()
+        .sort_values(["pred", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    keys, vals = collect_sameas_arrays(rd.from_arrow(blocks))
+    rw = CanonicalRewriter((keys, vals), drop_sameas=True)
+    want = (
+        pa.concat_tables([rw(b) for b in blocks])
+        .to_pandas()
+        .sort_values(["pred", "subj", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # and the semantic expectations themselves
+    k = set(zip(got["subj"], got["pred"], got["obj"]))
+    assert ("https://x.example/cyc1", "rdf:type", "hyf:HY_HydroLocation") in k
+    assert (P1, "schema:about", P1) in k
+    assert (P1, "rdf:type", "hyf:HY_HydroLocation") in k  # P2 → P1, chain c0 → P2 → P1
+
+
 def test_canonicalize_joined_no_edges():
     """Joined path with zero sameAs pairs: passthrough (+ sameAs drop)."""
     import ray.data as rd
