@@ -848,6 +848,93 @@ def canonicalize_stage_joined(
     return out.map_batches(_apply_obj, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sorted_min_by(ds: Dataset, key: str, val: str) -> Dataset:
+    """Distributed per-key min(val) WITHOUT Ray's groupby aggregate.
+
+    Ray's ``groupby(...).min(...)`` reduce runs per-group PYTHON
+    accumulators — measured ~165 s for 400k rows / 150k groups on 8
+    cpus regardless of key dtype or shuffle strategy, which made the
+    distributed-CC loop unusable at scale.  This path is all
+    vectorized C with an O(#blocks) driver term:
+
+    1. per-block pandas ``groupby(key).min()`` partial (combiner),
+    2. range-partition ``sort(key)`` (Arrow sort — measured 0.3 s on
+       the same input) so a key's partial rows land contiguously,
+    3. per-block partial again → a key now spans blocks only at block
+       BOUNDARIES, and every row of such a key is its block's first or
+       last row (interior blocks fully owned by a hot key contribute
+       their single partial row, which is both),
+    4. first+last rows per block (2 × #blocks — tiny) come to the
+       driver; keys seen in ≥2 blocks get their exact min recomputed
+       there and replace their per-block rows via a filtered union.
+
+    Everything stays ARROW end-to-end (pandas blocks pickle Python
+    string objects across the shuffle — measured ~10× slower): the
+    per-block partial is pyarrow's C++ hash aggregate (0.3 s vs Ray's
+    165 s on the same 400k-row input) and blocks ship zero-copy.
+
+    Returns a Dataset with columns ``(key, val)``.
+    """
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select([key, val]), key).aggregate([(val, "min")])
+        return g.rename_columns([key, val])
+
+    # batch_size=None (WHOLE-block batches) is load-bearing on the
+    # post-sort passes: with the default 1024-row chunking a key can
+    # repeat INSIDE one block across chunks, where the border fixup
+    # below would never see it.
+    part = _drop_empty_blocks(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+    srt = _drop_empty_blocks(part.sort(key))
+    part2 = _drop_empty_blocks(
+        srt.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+    def border_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.concat_tables([t.slice(0, 1), t.slice(t.num_rows - 1, 1)])
+
+    border = part2.map_batches(
+        border_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    dup = border[key][border[key].duplicated(keep=False)].unique()
+    if not len(dup):
+        return part2
+    fix = (
+        border[border[key].isin(dup)]
+        .groupby(key, as_index=False)[[val]]
+        .min()
+    )
+    sample = part2.take_batch(1, batch_format="pyarrow")
+    schema = sample.schema
+    fix_tbl = pa.table(
+        {
+            key: pa.array(fix[key], schema.field(key).type),
+            val: pa.array(fix[val], schema.field(val).type),
+        }
+    ).select(schema.names)
+    dup_arr = pa.array(sorted(fix[key]), schema.field(key).type)
+
+    def drop_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=dup_arr)))
+
+    # the dup filter can empty a block entirely; a later map (e.g. the
+    # CC loop's rename) would re-emit it column-less and poison joins
+    return _drop_empty_blocks(
+        part2.map_batches(
+            drop_dup, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).union(rd.from_arrow(fix_tbl))
+    )
+
+
 def connected_components_distributed(
     edges: Dataset, *, max_iters: int = 10
 ) -> Dataset:
@@ -871,44 +958,79 @@ def connected_components_distributed(
     """
     import pandas as pd
 
-    def sort_key(u: pd.Series) -> pd.Series:
-        # PIDs sort before everything else so min-label == canonical rep
-        return pd.Series(
-            ["0" + x if x.startswith(PID_PREFIX) else "1" + x for x in u], index=u.index
-        )
+    # ALL blocks stay Arrow: pandas blocks pickle Python string objects
+    # across every shuffle/join hop (measured ~10× slower end-to-end);
+    # Arrow blocks ship zero-copy.
+    LS = pa.large_string()
 
-    def undirect(b: pd.DataFrame) -> pd.DataFrame:
-        a = pd.DataFrame({"node": b["node"], "peer": b["root"]})
-        c = pd.DataFrame({"node": b["root"], "peer": b["node"]})
-        s = pd.DataFrame({"node": b["node"], "peer": b["node"]})
-        t = pd.DataFrame({"node": b["root"], "peer": b["root"]})
-        return pd.concat([a, c, s, t], ignore_index=True)
+    def undirect(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["node"], LS)
+        r = pc.cast(t["root"], LS)
+        return pa.concat_tables(
+            [
+                pa.table({"node": n, "peer": r}),
+                pa.table({"node": r, "peer": n}),
+                pa.table({"node": n, "peer": n}),
+                pa.table({"node": r, "peer": r}),
+            ]
+        ).combine_chunks()
 
     # drop empty edge blocks first: map_batches would re-emit them
     # column-less (UDF skipped) and poison every join below
     edges = _drop_empty_blocks(edges)
-    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+    und = edges.map_batches(
+        undirect, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    def keyed(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": b["node"], "label": sort_key(b["peer"])})
+    def keyed(t: pa.Table) -> pa.Table:
+        # PIDs sort before everything else so min-label == canonical rep
+        peer = pc.cast(t["peer"], LS)
+        pref = pc.if_else(
+            pc.starts_with(peer, pattern=PID_PREFIX),
+            pa.scalar("0", LS),
+            pa.scalar("1", LS),
+        )
+        label = pc.binary_join_element_wise(pref, peer, pa.scalar("", LS))
+        return pa.table({"node": t["node"], "label": label})
 
     def _rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
-        # arrow-block rename (Dataset.rename_columns chokes on pandas
-        # blocks, and groupby outputs here are pandas)
         def fn(t: pa.Table) -> pa.Table:
             return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     def _min_by_node(ds: Dataset) -> Dataset:
-        # the aggregate shuffle emits zero-row blocks for empty partitions;
-        # drop them BEFORE the rename map (which would strip their schema)
-        return _rename(
-            _drop_empty_blocks(ds.groupby("node").min("label")),
-            {"min(label)": "label"},
+        return _sorted_min_by(ds, "node", "label")
+
+    def _checksum(ds: Dataset) -> tuple:
+        # distributed order-insensitive fingerprint of the label table:
+        # (row count, wrap-sum of 64-bit row hashes).  Replaces the old
+        # per-iteration convergence JOIN — a changed label set colliding
+        # on both is ~2^-64 per iteration.
+        def chk(t: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                pc.cast(t["node"], LS), pc.cast(t["label"], LS), pa.scalar("\x00", LS)
+            )
+            h = pd.util.hash_array(joined.to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "s": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(
+            chk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        return (
+            int(parts["n"].sum()),
+            int(parts["s"].to_numpy(np.uint64).sum(dtype=np.uint64)),
         )
 
-    labels = _min_by_node(und.map_batches(keyed, batch_format="pandas")).materialize()
+    labels = _min_by_node(
+        und.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
+    prev = _checksum(labels)
     # cap by CPUs: each hash-join partition wants an aggregator actor
     # (globally capped at 64) — more partitions than schedulable actors
     # deadlocks the join on small clusters
@@ -925,24 +1047,18 @@ def connected_components_distributed(
             )
         ).select_columns(["node", "label"])
         new_labels = _min_by_node(prop.union(labels)).materialize()
-        # distributed convergence check: any node whose label shrank?
-        joined = _rename(new_labels, {"label": "new_label"}).join(
-            labels, join_type="inner", num_partitions=n_parts, on=("node",)
-        )
-
-        def count_changed(b: "pd.DataFrame") -> "pd.DataFrame":
-            import pandas as _pd
-
-            return _pd.DataFrame({"n": [int((b["new_label"] != b["label"]).sum())]})
-
-        changed = (
-            joined.map_batches(count_changed, batch_format="pandas").sum("n")
-        )
         labels = new_labels
-        if not changed:
+        cur = _checksum(labels)
+        if cur == prev:
             break
+        prev = cur
 
-    def strip(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": b["node"], "label": b["label"].str.slice(1)})
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": pc.utf8_slice_codeunits(pc.cast(t["label"], LS), 1),
+            }
+        )
 
-    return labels.map_batches(strip, batch_format="pandas")
+    return labels.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
