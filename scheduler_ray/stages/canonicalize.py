@@ -1046,7 +1046,9 @@ def connected_components_distributed(
                 peer_labels, join_type="inner", num_partitions=n_parts, on=("peer",)
             )
         ).select_columns(["node", "label"])
-        new_labels = _min_by_node(prop.union(labels)).materialize()
+        # no union(labels) needed: und carries a SELF edge for every
+        # node, so prop already contributes each node's current label
+        new_labels = _min_by_node(prop).materialize()
         labels = new_labels
         cur = _checksum(labels)
         if cur == prev:
