@@ -848,8 +848,9 @@ def canonicalize_stage_joined(
     return out.map_batches(_apply_obj, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _sorted_min_by(ds: Dataset, key: str, val: str) -> Dataset:
-    """Distributed per-key min(val) WITHOUT Ray's groupby aggregate.
+def sorted_agg_by(ds: Dataset, key: str, aggs: "dict[str, str]") -> Dataset:
+    """Distributed per-key min/max of value columns WITHOUT Ray's
+    groupby aggregate.  ``aggs`` maps value column → "min" | "max".
 
     Ray's ``groupby(...).min(...)`` reduce runs per-group PYTHON
     accumulators — measured ~165 s for 400k rows / 150k groups on 8
@@ -873,13 +874,18 @@ def _sorted_min_by(ds: Dataset, key: str, val: str) -> Dataset:
     per-block partial is pyarrow's C++ hash aggregate (0.3 s vs Ray's
     165 s on the same 400k-row input) and blocks ship zero-copy.
 
-    Returns a Dataset with columns ``(key, val)``.
+    Returns a Dataset with columns ``(key, *aggs)``.
     """
     import ray.data as rd
 
+    vals = list(aggs)
+    cols = [key, *vals]
+
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select([key, val]), key).aggregate([(val, "min")])
-        return g.rename_columns([key, val])
+        g = pa.TableGroupBy(t.select(cols), key).aggregate(
+            [(v, aggs[v]) for v in vals]
+        )
+        return g.rename_columns(cols)
 
     # batch_size=None (WHOLE-block batches) is load-bearing on the
     # post-sort passes: with the default 1024-row chunking a key can
@@ -910,16 +916,13 @@ def _sorted_min_by(ds: Dataset, key: str, val: str) -> Dataset:
         return part2
     fix = (
         border[border[key].isin(dup)]
-        .groupby(key, as_index=False)[[val]]
-        .min()
+        .groupby(key, as_index=False)
+        .agg({v: aggs[v] for v in vals})
     )
     sample = part2.take_batch(1, batch_format="pyarrow")
     schema = sample.schema
     fix_tbl = pa.table(
-        {
-            key: pa.array(fix[key], schema.field(key).type),
-            val: pa.array(fix[val], schema.field(val).type),
-        }
+        {c: pa.array(fix[c], schema.field(c).type) for c in cols}
     ).select(schema.names)
     dup_arr = pa.array(sorted(fix[key]), schema.field(key).type)
 
@@ -1000,7 +1003,7 @@ def connected_components_distributed(
         return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     def _min_by_node(ds: Dataset) -> Dataset:
-        return _sorted_min_by(ds, "node", "label")
+        return sorted_agg_by(ds, "node", {"label": "min"})
 
     def _checksum(ds: Dataset) -> tuple:
         # distributed order-insensitive fingerprint of the label table:
