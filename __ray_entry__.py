@@ -105,10 +105,15 @@ def _q_kg_cleanup(sf_dir: str):
 
 def _q_kg_merge_dedup(sf_dir: str):
     # materialize once and self-union (A2 global-merge semantics) — running
-    # the whole flagship twice for a self-union wasted a full pipeline pass
+    # the whole flagship twice for a self-union wasted a full pipeline pass.
+    # Distinct via the sorted-agg primitive: Ray's groupby reduce runs
+    # per-GROUP Python accumulators, which at triple cardinality (one
+    # group per distinct triple) would dominate the merge at scale.
+    from scheduler_ray.stages.canonicalize import sorted_agg_by
+
     ds = _q_kg_canonical(sf_dir).materialize()
     merged = ds.union(ds)
-    distinct = merged.groupby(["subj", "pred", "obj"]).aggregate(Count(alias_name="c"))
+    distinct = sorted_agg_by(merged, ["subj", "pred", "obj"], {})
     return pd.DataFrame({"n_triples": [distinct.count()]})
 
 

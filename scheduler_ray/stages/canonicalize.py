@@ -848,9 +848,15 @@ def canonicalize_stage_joined(
     return out.map_batches(_apply_obj, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sorted_agg_by(ds: Dataset, key: str, aggs: "dict[str, str]") -> Dataset:
+def sorted_agg_by(
+    ds: Dataset, key: "str | list[str]", aggs: "dict[str, str]"
+) -> Dataset:
     """Distributed per-key min/max of value columns WITHOUT Ray's
-    groupby aggregate.  ``aggs`` maps value column → "min" | "max".
+    groupby aggregate.  ``aggs`` maps value column → "min" | "max";
+    an EMPTY ``aggs`` makes this a distributed DISTINCT over the key
+    column(s).  ``key`` may be a list for composite keys (string-typed
+    composite keys must not contain NUL bytes — the dup filter joins
+    them with \\x00).
 
     Ray's ``groupby(...).min(...)`` reduce runs per-group PYTHON
     accumulators — measured ~165 s for 400k rows / 150k groups on 8
@@ -874,15 +880,16 @@ def sorted_agg_by(ds: Dataset, key: str, aggs: "dict[str, str]") -> Dataset:
     per-block partial is pyarrow's C++ hash aggregate (0.3 s vs Ray's
     165 s on the same 400k-row input) and blocks ship zero-copy.
 
-    Returns a Dataset with columns ``(key, *aggs)``.
+    Returns a Dataset with columns ``(*keys, *aggs)``.
     """
     import ray.data as rd
 
+    keys = [key] if isinstance(key, str) else list(key)
     vals = list(aggs)
-    cols = [key, *vals]
+    cols = [*keys, *vals]
 
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t.select(cols), key).aggregate(
+        g = pa.TableGroupBy(t.select(cols), keys).aggregate(
             [(v, aggs[v]) for v in vals]
         )
         return g.rename_columns(cols)
@@ -896,7 +903,7 @@ def sorted_agg_by(ds: Dataset, key: str, aggs: "dict[str, str]") -> Dataset:
             partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     )
-    srt = _drop_empty_blocks(part.sort(key))
+    srt = _drop_empty_blocks(part.sort(keys))
     part2 = _drop_empty_blocks(
         srt.map_batches(
             partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -911,23 +918,48 @@ def sorted_agg_by(ds: Dataset, key: str, aggs: "dict[str, str]") -> Dataset:
     border = part2.map_batches(
         border_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
-    dup = border[key][border[key].duplicated(keep=False)].unique()
-    if not len(dup):
+    dup_mask = border.duplicated(subset=keys, keep=False)
+    if not dup_mask.any():
         return part2
-    fix = (
-        border[border[key].isin(dup)]
-        .groupby(key, as_index=False)
-        .agg({v: aggs[v] for v in vals})
-    )
+    dup_rows = border[dup_mask]
+    if vals:
+        fix = dup_rows.groupby(keys, as_index=False).agg(
+            {v: aggs[v] for v in vals}
+        )
+    else:
+        fix = dup_rows.drop_duplicates(subset=keys).reset_index(drop=True)
     sample = part2.take_batch(1, batch_format="pyarrow")
     schema = sample.schema
     fix_tbl = pa.table(
         {c: pa.array(fix[c], schema.field(c).type) for c in cols}
     ).select(schema.names)
-    dup_arr = pa.array(sorted(fix[key]), schema.field(key).type)
 
-    def drop_dup(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t[key], value_set=dup_arr)))
+    def _composite(t_or_df, arrow: bool):
+        if arrow:
+            parts = [pc.cast(t_or_df[k], pa.large_string()) for k in keys]
+            out = parts[0]
+            for p2 in parts[1:]:
+                out = pc.binary_join_element_wise(
+                    out, p2, pa.scalar("\x00", pa.large_string())
+                )
+            return out
+        acc = t_or_df[keys[0]].astype(str)
+        for k in keys[1:]:
+            acc = acc + "\x00" + t_or_df[k].astype(str)
+        return acc
+
+    if len(keys) == 1:
+        dup_arr = pa.array(sorted(fix[keys[0]]), schema.field(keys[0]).type)
+
+        def drop_dup(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t[keys[0]], value_set=dup_arr)))
+
+    else:
+        dup_arr = pa.array(sorted(_composite(fix, arrow=False)), pa.large_string())
+
+        def drop_dup(t: pa.Table) -> pa.Table:
+            comp = _composite(t, arrow=True)
+            return t.filter(pc.invert(pc.is_in(comp, value_set=dup_arr)))
 
     # the dup filter can empty a block entirely; a later map (e.g. the
     # CC loop's rename) would re-emit it column-less and poison joins

@@ -109,8 +109,17 @@ def exact_dedup(docs: Dataset) -> Dataset:
         return out
 
     partials = docs.map_batches(partial, batch_format="pandas")
-    kept = partials.groupby("text_hash").aggregate(Min("keep_doc_id", alias_name="doc_id"))
-    return kept
+    # per-hash global min via the sorted-agg primitive, NOT Ray's
+    # groupby aggregate (per-GROUP Python accumulators — at corpus
+    # cardinality the reduce would dominate the whole dedup)
+    from .canonicalize import sorted_agg_by
+
+    kept = sorted_agg_by(partials, "text_hash", {"keep_doc_id": "min"})
+    return kept.map_batches(
+        lambda t: t.rename_columns(["text_hash", "doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def exact_dedup_docs(docs: Dataset) -> Dataset:
