@@ -123,8 +123,20 @@ def exact_dedup(docs: Dataset) -> Dataset:
 
 
 def exact_dedup_docs(docs: Dataset) -> Dataset:
-    """Full rows of the surviving documents (broadcast-free semi-join by
-    re-deriving the winner per group)."""
+    """Full rows of the surviving documents (first-wins per exact text).
+
+    Sort-based, NOT ``groupby().map_groups`` (whose reduce calls the UDF
+    once per GROUP — at corpus cardinality that is one Python call per
+    distinct document): range-sort on (text_hash, doc_id), keep each
+    block's first row per hash vectorized, then fix the O(#blocks) keys
+    that straddle block boundaries on the driver (the global winner of a
+    straddling key is the min-doc_id row among its per-block winners)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .canonicalize import _drop_empty_blocks
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -132,11 +144,51 @@ def exact_dedup_docs(docs: Dataset) -> Dataset:
         return batch
 
     tagged = docs.map_batches(tag, batch_format="pandas")
+    srt = _drop_empty_blocks(tagged.sort(["text_hash", "doc_id"]))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, "doc_id")
+    def first_per_key(t: pa.Table) -> pa.Table:
+        k = t["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = np.ones(len(k), bool)
+        mask[1:] = k[1:] != k[:-1]
+        return t.filter(pa.array(mask))
 
-    return tagged.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    part = _drop_empty_blocks(
+        srt.map_batches(
+            first_per_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+    def border_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.concat_tables([t.slice(0, 1), t.slice(t.num_rows - 1, 1)])
+
+    border = part.map_batches(
+        border_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    dup = border["text_hash"][border["text_hash"].duplicated(keep=False)].unique()
+    if not len(dup):
+        return part
+    fix = (
+        border[border["text_hash"].isin(dup)]
+        .sort_values(["text_hash", "doc_id"])
+        .drop_duplicates("text_hash")
+        .reset_index(drop=True)
+    )
+    schema = part.take_batch(1, batch_format="pyarrow").schema
+    fix_tbl = pa.table(
+        {c: pa.array(fix[c], schema.field(c).type) for c in schema.names}
+    )
+    dup_arr = pa.array(sorted(dup), schema.field("text_hash").type)
+
+    def drop_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["text_hash"], value_set=dup_arr)))
+
+    return _drop_empty_blocks(
+        part.map_batches(
+            drop_dup, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).union(rd.from_arrow(fix_tbl))
+    )
 
 
 # ----------------------------------------------------------- minhash + LSH

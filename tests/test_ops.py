@@ -22,6 +22,32 @@ def _docs(texts, ids=None):
     return rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts, "n_chars": [len(t) for t in texts]}))
 
 
+def test_exact_dedup_docs_first_wins_multiblock():
+    """Sort-based full-row first-wins dedup: duplicates scattered across
+    many blocks must all collapse to the min-doc_id row, with the full
+    row payload intact (exercises the block-boundary fixup)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages import dedup as dd
+
+    rows = []
+    for i in range(300):
+        text = f"doc text {i % 37}"  # 37 distinct texts, ~8 copies each
+        rows.append({"doc_id": i, "text": text, "tag": f"row{i}"})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(9)
+    got = dd.exact_dedup_docs(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        df.sort_values("doc_id")
+        .drop_duplicates("text")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["tag"]) == list(want["tag"])
+
+
 def test_exact_dedup_keeps_min_id():
     ds = _docs(["aaa", "bbb", "aaa", "ccc", "bbb"], ids=[5, 2, 9, 1, 7])
     out = dd.exact_dedup(ds).to_pandas()
