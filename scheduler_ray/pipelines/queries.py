@@ -160,7 +160,10 @@ FROM events GROUP BY 1, 2
 
 
 def q_sessions(sf_dir: str):
-    """Session windows (gap > 30 min) per user via groupby+map_groups."""
+    """Session windows (gap > 30 min) per user — sort-based distributed
+    sessionization (stages/relational.py::sessionize); a session is
+    identified by its start epoch (unique per user), which needs no
+    per-user ordinal rank at scale."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
     return rel.sessionize(ev, gap_s=1800)
 
@@ -178,7 +181,7 @@ WITH g AS (
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
   FROM g
 )
-SELECT user_id, session, MIN(epoch) AS session_start, MAX(epoch) AS session_end,
+SELECT user_id, MIN(epoch) AS session_start, MAX(epoch) AS session_end,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, session
 """

@@ -112,22 +112,112 @@ def sessionize(
     ts_col: str = "ts",
     gap_s: int = 1800,
 ) -> Dataset:
-    """Session windows per key: sort within group, split on ts gaps > gap_s
-    (groupby + map_groups — the Ray Data streaming-window recipe)."""
+    """Session windows per key: split each key's event stream on ts gaps
+    > ``gap_s``.  A session is identified by its START epoch (unique per
+    key, globally consistent without a per-key rank).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        epoch = g[ts_col].astype("int64") // 1_000_000
-        gap = epoch.diff().fillna(0) > gap_s
-        sid = gap.cumsum().astype("int64")
-        out = pd.DataFrame({key: g[key], "session": sid, "epoch": epoch})
-        return out.groupby([key, "session"], as_index=False).agg(
-            session_start=("epoch", "min"),
-            session_end=("epoch", "max"),
-            n_events=("epoch", "size"),
+    Sort-based, NOT ``groupby().map_groups`` (one Python UDF call per
+    key — at web scale one call per user): range-sort on (key, ts),
+    sessionize each block with numpy ``reduceat`` segments, then stitch
+    the O(#blocks) sessions that straddle block boundaries on the
+    driver — a boundary session's fragments are exactly its blocks'
+    first/last session rows (interior blocks wholly inside one session
+    contribute their single row, which is both)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .canonicalize import _drop_empty_blocks
+
+    srt = _drop_empty_blocks(events.sort([key, ts_col]))
+
+    def block_sessions(t: pa.Table) -> pa.Table:
+        epoch = (
+            pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        u = t[key].to_numpy(zero_copy_only=False)
+        n = len(u)
+        brk = np.ones(n, bool)
+        if n > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((epoch[1:] - epoch[:-1]) > gap_s)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                key: pa.array(u[starts]).cast(t.schema.field(key).type),
+                "session_start": pa.array(epoch[starts], pa.int64()),
+                "session_end": pa.array(epoch[ends], pa.int64()),
+                "n_events": pa.array(
+                    np.append(starts[1:], n) - starts, pa.int64()
+                ),
+            }
         )
 
-    return events.groupby(key).map_groups(sessions, batch_format="pandas")
+    part = _drop_empty_blocks(
+        srt.map_batches(
+            block_sessions, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+    def border_rows(t: pa.Table) -> pa.Table:
+        pos = pa.array([2] if t.num_rows == 1 else [0, 1], pa.int64())
+        rows = (
+            t
+            if t.num_rows <= 1
+            else pa.concat_tables([t.slice(0, 1), t.slice(t.num_rows - 1, 1)])
+        )
+        return rows.append_column("pos", pos) if t.num_rows else t
+
+    border = part.map_batches(
+        border_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    if not len(border):
+        return part
+    border = border.sort_values([key, "session_start"]).reset_index(drop=True)
+    same_key = border[key].eq(border[key].shift())
+    gap_ok = (border["session_start"] - border["session_end"].shift()) <= gap_s
+    prev_tail = border["pos"].shift().isin([1, 2])
+    cur_head = border["pos"].isin([0, 2])
+    chain = (same_key & gap_ok & prev_tail & cur_head).fillna(False)
+    if not chain.any():
+        return part
+    cid = (~chain).cumsum()
+    border["_cid"] = cid
+    sizes = border.groupby("_cid")["_cid"].transform("size")
+    chained = border[sizes > 1]
+    fix = chained.groupby("_cid", as_index=False).agg(
+        **{
+            key: (key, "first"),
+            "session_start": ("session_start", "min"),
+            "session_end": ("session_end", "max"),
+            "n_events": ("n_events", "sum"),
+        }
+    ).drop(columns=["_cid"])
+    # replaced fragments keyed by (key, session_start) — unique per key
+    schema = part.take_batch(1, batch_format="pyarrow").schema
+    fix_tbl = pa.table(
+        {c: pa.array(fix[c], schema.field(c).type) for c in schema.names}
+    )
+    drop_keys = set(zip(chained[key], chained["session_start"]))
+
+    def drop_frag(t: pa.Table) -> pa.Table:
+        # composite membership: match on key AND start pairwise
+        import pandas as pd_
+
+        mask = ~pd_.MultiIndex.from_arrays(
+            [t[key].to_numpy(zero_copy_only=False), t["session_start"].to_numpy()]
+        ).isin(list(drop_keys))
+        return t.filter(pa.array(mask))
+
+    return _drop_empty_blocks(
+        part.map_batches(
+            drop_frag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).union(rd.from_arrow(fix_tbl))
+    )
 
 
 def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:

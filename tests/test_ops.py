@@ -197,6 +197,46 @@ def test_tumbling_and_sessions():
     assert len(s) == 2 and sorted(s["n_events"]) == [1, 2]
 
 
+def test_sessionize_multiblock_stitch():
+    """Sessions spanning many blocks must stitch into one (and distinct
+    sessions must stay split) — exercises the border-chain fixup of the
+    sort-based sessionize against a pandas reference."""
+    rng = np.random.default_rng(3)
+    rows = []
+    for u in range(40):
+        t0 = 1_700_000_000 + u * 10_000_000
+        # one long session (120 events 100s apart), a gap, a short one
+        for i in range(120):
+            rows.append({"user_id": u, "t": t0 + i * 100})
+        for i in range(5):
+            rows.append({"user_id": u, "t": t0 + 120 * 100 + 5000 + i * 10})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=5).reset_index(drop=True)
+    df["ts"] = pd.to_datetime(df["t"], unit="s").astype("datetime64[us]")
+    ds = rd.from_pandas(df[["user_id", "ts"]]).repartition(16)
+    got = (
+        rel.sessionize(ds, gap_s=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # pandas reference
+    ref_rows = []
+    for u, g in df.sort_values(["user_id", "t"]).groupby("user_id"):
+        ep = g["t"].to_numpy()
+        brk = np.ones(len(ep), bool)
+        brk[1:] = (ep[1:] - ep[:-1]) > 1800
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ep)) - 1
+        for s, e in zip(starts, ends):
+            ref_rows.append(
+                {"user_id": u, "session_start": ep[s], "session_end": ep[e],
+                 "n_events": e - s + 1}
+            )
+    want = pd.DataFrame(ref_rows).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    got = got.astype({c: "int64" for c in ["session_start", "session_end", "n_events"]})
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want.astype({"user_id": got["user_id"].dtype}))
+
+
 def test_topk():
     df = pd.DataFrame({"x": np.arange(100), "y": (np.arange(100) * 37) % 100})
     out = rel.top_k(rd.from_pandas(df), "y", 5).to_pandas()
