@@ -970,6 +970,84 @@ def sorted_agg_by(
     )
 
 
+def sorted_map_groups(ds: Dataset, keys: "list[str]", fn) -> Dataset:
+    """``groupby(keys).map_groups(fn)`` semantics without one Python UDF
+    task per group.
+
+    Ray's map_groups reduce builds a sub-block and calls the UDF once
+    per GROUP (~0.5-1 ms each) — at corpus-scale group counts (LSH
+    buckets, candidate pairs) that is hours of pure overhead.  Here:
+    range-sort on ``keys`` → per-BLOCK vectorized segment split → ``fn``
+    runs per segment as a plain function call; only the O(#blocks)
+    groups that straddle block boundaries fall back to Ray's real
+    map_groups (exact whole-group semantics, trivially few groups).
+
+    ``fn``: pandas group frame → pandas frame — the same contract as
+    ``Dataset.map_groups(fn, batch_format="pandas")``.  Output row order
+    differs from map_groups (callers must be order-insensitive).
+    Straddler routing uses a 64-bit key-row hash; a collision only sends
+    an extra group to the fallback path (processed exactly once either
+    way), never drops or duplicates one.
+    """
+    import pandas as pd
+
+    srt = _drop_empty_blocks(ds.sort(keys))
+
+    def border_keys(t: pa.Table) -> pa.Table:
+        k = t.select(keys)
+        if t.num_rows == 0:
+            return k
+        return pa.concat_tables([k.slice(0, 1), k.slice(t.num_rows - 1, 1)])
+
+    bk = srt.map_batches(
+        border_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    dup_df = bk[bk.duplicated(subset=keys, keep=False)].drop_duplicates(subset=keys)
+    dup_set = frozenset(
+        pd.util.hash_pandas_object(dup_df[keys], index=False).to_numpy(np.uint64)
+    )
+
+    def _segments(df: pd.DataFrame):
+        brk = np.zeros(len(df), bool)
+        brk[0] = True
+        for kcol in keys:
+            v = df[kcol].to_numpy()
+            brk[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(brk)
+        return starts, np.append(starts[1:], len(df))
+
+    def block_apply(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return fn(df.head(0))
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
+        starts, ends = _segments(df)
+        outs = []
+        for s, e in zip(starts, ends):
+            if h[s] in dup_set:
+                continue  # boundary-straddling group → fallback pass
+            out = fn(df.iloc[s:e])
+            if len(out):
+                outs.append(out)
+        if not outs:
+            return fn(df.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    main = srt.map_batches(block_apply, batch_format="pandas", batch_size=None)
+    if not dup_set:
+        return _drop_empty_blocks(main)
+
+    def only_dup(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
+        return df[np.isin(h, np.fromiter(dup_set, np.uint64))]
+
+    strag = (
+        srt.map_batches(only_dup, batch_format="pandas", batch_size=None)
+        .groupby(keys)
+        .map_groups(fn, batch_format="pandas")
+    )
+    return _drop_empty_blocks(main.union(strag))
+
+
 def connected_components_distributed(
     edges: Dataset, *, max_iters: int = 10
 ) -> Dataset:

@@ -366,13 +366,10 @@ def distributed_pair_verify(
         out[payload_col] = [src[payload_col].iloc[0]] * len(mem)
         return out
 
-    return (
-        members.union(payloads)
-        .groupby(id_col)
-        .map_groups(attach, batch_format="pandas")
-        .groupby([a_col, b_col])
-        .map_groups(verify_pair, batch_format="pandas")
-    )
+    from .canonicalize import sorted_map_groups
+
+    attached = sorted_map_groups(members.union(payloads), [id_col], attach)
+    return sorted_map_groups(attached, [a_col, b_col], verify_pair)
 
 
 def minhash_lsh_pairs(
@@ -502,15 +499,16 @@ def minhash_lsh_pairs(
             return empty_pairs
         return pd.concat(outs, ignore_index=True).astype("int64")
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_candidates, batch_format="pandas"
-    )
-    # a pair can fire in several bands — global dedup (small side)
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    from .canonicalize import sorted_agg_by, sorted_map_groups
+
+    # sorted segment execution, NOT one map_groups UDF task per bucket
+    # (bucket count scales with the corpus — per-group Python overhead
+    # alone would dominate at 100 TB); straddling buckets keep exact
+    # whole-bucket semantics via the O(#blocks) fallback inside
+    cand = sorted_map_groups(exploded, ["band", "band_hash"], bucket_candidates)
+    # a pair can fire in several bands — global dedup via the sorted
+    # distinct (pair-cardinality groups)
+    cand = sorted_agg_by(cand, ["doc_a", "doc_b"], {})
 
     # ---- phase 2: exact verify, fetching text for candidate docs only;
     # the pair set stays a Dataset end-to-end (no driver pair frame)
@@ -646,8 +644,10 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3) -> Dataset:
             )
         return pd.concat(outs, ignore_index=True).astype("int64")
 
-    out = exploded.groupby(["chunk", "chunk_val"]).map_groups(pairs, batch_format="pandas")
-    return out.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n")).select_columns(
+    from .canonicalize import sorted_agg_by, sorted_map_groups
+
+    out = sorted_map_groups(exploded, ["chunk", "chunk_val"], pairs)
+    return sorted_agg_by(out, ["doc_a", "doc_b"], {}).select_columns(
         ["doc_a", "doc_b"]
     )
 

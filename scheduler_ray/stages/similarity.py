@@ -208,12 +208,14 @@ def near_duplicates_embedding(
             return empty_pairs
         return pd.concat(outs, ignore_index=True).astype("int64")
 
-    cand = (
-        exploded.groupby(["table", "sig"])
-        .map_groups(bucket_candidates, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="n_tables"))
-        .select_columns(["vec_a", "vec_b"])
+    # sorted segment execution + sorted distinct, NOT per-group Python
+    # (bucket and pair cardinalities scale with the corpus)
+    from .canonicalize import sorted_agg_by, sorted_map_groups
+
+    cand = sorted_agg_by(
+        sorted_map_groups(exploded, ["table", "sig"], bucket_candidates),
+        ["vec_a", "vec_b"],
+        {},
     )
 
     # phase 2: distributed exact verify — the pair set stays a Dataset

@@ -242,6 +242,54 @@ def test_canonicalize_joined_no_edges():
     assert sorted(out["subj"]) == ["s1", "s2"]
 
 
+def test_sorted_map_groups_matches_map_groups():
+    """sorted_map_groups must reproduce groupby().map_groups exactly —
+    including groups deliberately scattered across many blocks (the
+    boundary-straddler fallback) and a hot group wider than a block."""
+    import numpy as np
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import sorted_map_groups
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g1": rng.integers(0, 60, n),          # ~66 rows per group
+            "g2": rng.integers(0, 2, n),
+            "v": rng.integers(0, 1000, n),
+        }
+    )
+    df.loc[: n // 4, "g1"] = 7  # one hot group wider than a block
+    df.loc[: n // 4, "g2"] = 0
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(13)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g1": [int(g["g1"].iloc[0])],
+                "g2": [int(g["g2"].iloc[0])],
+                "n": [len(g)],
+                "vsum": [int(g["v"].sum())],
+            }
+        )
+
+    got = (
+        sorted_map_groups(ds, ["g1", "g2"], fn)
+        .to_pandas()
+        .sort_values(["g1", "g2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["g1", "g2"])
+        .map_groups(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["g1", "g2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
 def test_distributed_cc_multiblock_chains():
     """Alias set spread over many blocks with 3-hop chains: the
     partitioned-join propagation must close every chain without any
