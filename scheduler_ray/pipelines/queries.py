@@ -481,7 +481,9 @@ def q_text_fingerprint(sf_dir: str):
         ]
         return pd.concat(frames, ignore_index=True).astype("int64")
 
-    out = fps.groupby("fingerprint").map_groups(pairs, batch_format="pandas").to_pandas()
+    from ..stages.canonicalize import sorted_map_groups
+
+    out = sorted_map_groups(fps, ["fingerprint"], pairs).to_pandas()
     keep = (
         (out["doc_b"] - out["doc_a"] == PLANT_OFFSET)
         & (out["doc_a"] % 11 == 0)
