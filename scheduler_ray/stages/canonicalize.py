@@ -934,19 +934,14 @@ def sorted_agg_by(
         {c: pa.array(fix[c], schema.field(c).type) for c in cols}
     ).select(schema.names)
 
-    def _composite(t_or_df, arrow: bool):
-        if arrow:
-            parts = [pc.cast(t_or_df[k], pa.large_string()) for k in keys]
-            out = parts[0]
-            for p2 in parts[1:]:
-                out = pc.binary_join_element_wise(
-                    out, p2, pa.scalar("\x00", pa.large_string())
-                )
-            return out
-        acc = t_or_df[keys[0]].astype(str)
-        for k in keys[1:]:
-            acc = acc + "\x00" + t_or_df[k].astype(str)
-        return acc
+    def _composite(t: pa.Table):
+        parts = [pc.cast(t[k], pa.large_string()) for k in keys]
+        out = parts[0]
+        for p2 in parts[1:]:
+            out = pc.binary_join_element_wise(
+                out, p2, pa.scalar("\x00", pa.large_string())
+            )
+        return out
 
     if len(keys) == 1:
         dup_arr = pa.array(sorted(fix[keys[0]]), schema.field(keys[0]).type)
@@ -955,10 +950,15 @@ def sorted_agg_by(
             return t.filter(pc.invert(pc.is_in(t[keys[0]], value_set=dup_arr)))
 
     else:
-        dup_arr = pa.array(sorted(_composite(fix, arrow=False)), pa.large_string())
+        # Build the dup value-set from fix_tbl via the SAME Arrow cast as
+        # the per-block filter below — pandas .astype(str) renders floats
+        # differently from Arrow's cast ('1.0' vs '1'), which would let
+        # superseded per-block partial rows silently survive (round-4
+        # advice).
+        dup_arr = pa.array(_composite(fix_tbl).to_pylist(), pa.large_string())
 
         def drop_dup(t: pa.Table) -> pa.Table:
-            comp = _composite(t, arrow=True)
+            comp = _composite(t)
             return t.filter(pc.invert(pc.is_in(comp, value_set=dup_arr)))
 
     # the dup filter can empty a block entirely; a later map (e.g. the
@@ -983,8 +983,12 @@ def sorted_map_groups(ds: Dataset, keys: "list[str]", fn) -> Dataset:
     map_groups (exact whole-group semantics, trivially few groups).
 
     ``fn``: pandas group frame → pandas frame — the same contract as
-    ``Dataset.map_groups(fn, batch_format="pandas")``.  Output row order
-    differs from map_groups (callers must be order-insensitive).
+    ``Dataset.map_groups(fn, batch_format="pandas")``: like map_groups,
+    ``fn`` is NEVER invoked on an empty frame (blocks whose segments are
+    all boundary straddlers yield no batch at all — round-4 advice; the
+    old version called ``fn(df.head(0))`` there, crashing UDFs that do
+    ``g.iloc[0]`` on rare block layouts).  Output row order differs from
+    map_groups (callers must be order-insensitive).
     Straddler routing uses a 64-bit key-row hash; a collision only sends
     an extra group to the fallback path (processed exactly once either
     way), never drops or duplicates one.
@@ -1016,9 +1020,11 @@ def sorted_map_groups(ds: Dataset, keys: "list[str]", fn) -> Dataset:
         starts = np.flatnonzero(brk)
         return starts, np.append(starts[1:], len(df))
 
-    def block_apply(df: pd.DataFrame) -> pd.DataFrame:
+    def block_apply(df: pd.DataFrame):
+        # generator UDF: a block whose segments are all straddlers (or an
+        # empty block) yields NOTHING — fn never sees an empty frame
         if not len(df):
-            return fn(df.head(0))
+            return
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
         starts, ends = _segments(df)
         outs = []
@@ -1028,9 +1034,8 @@ def sorted_map_groups(ds: Dataset, keys: "list[str]", fn) -> Dataset:
             out = fn(df.iloc[s:e])
             if len(out):
                 outs.append(out)
-        if not outs:
-            return fn(df.head(0))
-        return pd.concat(outs, ignore_index=True)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     main = srt.map_batches(block_apply, batch_format="pandas", batch_size=None)
     if not dup_set:
@@ -1151,6 +1156,7 @@ def connected_components_distributed(
         max(2, und.num_blocks()),
         max(2, int(ray.cluster_resources().get("CPU", 8))),
     )
+    converged = False
     for _ in range(max_iters - 1):
         # propagate: each edge (node, peer) contributes label[peer] to node
         peer_labels = _rename(labels, {"node": "peer"})
@@ -1165,8 +1171,20 @@ def connected_components_distributed(
         labels = new_labels
         cur = _checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The checksum makes non-convergence detectable for free; exiting
+        # silently here would hand back SPLIT clusters (wrong canonical
+        # labels) whenever an alias chain spans more than max_iters-1
+        # cross-block hops — fail loudly instead (round-4 advice).
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"max_iters={max_iters} label-propagation rounds; the alias "
+            f"graph has chains longer than {max_iters - 1} hops — raise "
+            f"cc_max_iters (canonicalize_stage_joined) for this corpus"
+        )
 
     def strip(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -42,7 +42,7 @@ import ray
 from ray.data import Dataset
 
 from .expand import TRIPLE_SCHEMA
-from .spatial import _ragged_arange
+from .spatial import _ragged_arange, narrow_i32
 
 LINEAR_ELEMENT = "hyf:linearElement"
 NAME_PRED = "schema:name"
@@ -141,7 +141,7 @@ class RegistryIndex:
         ex = tok_lists.explode().dropna()
         pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "tok": ex.to_numpy(object)})
         pairs = pairs[~pairs.duplicated()]  # per-row token dedup, vectorized
-        rows = pairs["row"].to_numpy(np.int32)
+        rows = narrow_i32(pairs["row"].to_numpy(np.int64), "RegistryIndex.rows")
         flat_tokens = pairs["tok"].to_numpy(object)
         h = _hash_tokens(flat_tokens) if len(flat_tokens) else np.array([], _HASH_DTYPE)
         # row→token CSR (sorted hashes per row) for spatial-candidate
@@ -151,7 +151,7 @@ class RegistryIndex:
         row_counts = np.bincount(r_rows, minlength=n)
         row_tok_offsets = np.zeros(n + 1, np.int64)
         np.cumsum(row_counts, out=row_tok_offsets[1:])
-        self.row_tok_offsets = row_tok_offsets.astype(np.int32)
+        self.row_tok_offsets = narrow_i32(row_tok_offsets, "RegistryIndex.row_tok_offsets")
         self.row_tok_hashes = r_h
         order = np.argsort(h, kind="stable")
         h, rows = h[order], rows[order]
@@ -163,13 +163,15 @@ class RegistryIndex:
         kept_counts = counts[keep]
         offsets = np.zeros(len(self.vocab) + 1, np.int64)
         np.cumsum(kept_counts, out=offsets[1:])
-        self.offsets = offsets.astype(np.int32)
+        self.offsets = narrow_i32(offsets, "RegistryIndex.offsets")
         # h is sorted, so token groups are contiguous: one boolean gather
         self.flat = rows[np.repeat(keep, counts)]
         # Jaccard is scored over DISCRIMINATIVE tokens only (both sides
         # exclude the pruned stop-band), so counts come from the kept
         # postings, symmetrically with the query-side hit count.
-        self.token_counts = np.bincount(self.flat, minlength=n).astype(np.int32)
+        self.token_counts = narrow_i32(
+            np.bincount(self.flat, minlength=n), "RegistryIndex.token_counts"
+        )
         # spatial index over the registry geometries (when present):
         # real polygon rings take precedence (grid candidates + exact
         # ray-casting verify — the geometry-true J1, round-2 verdict item

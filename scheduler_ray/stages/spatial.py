@@ -37,6 +37,21 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
+def narrow_i32(arr: np.ndarray, what: str) -> np.ndarray:
+    """Bounds-checked int64 → int32 narrowing for CSR offsets/counts.
+
+    Past 2^31 postings/vertices a bare ``astype(np.int32)`` WRAPS silently
+    and corrupts candidate generation at exactly the scale this engine
+    targets (round-4 advice) — fail loudly instead; the fix at that scale
+    is sharding the broadcast-side index, not a wider dtype."""
+    if arr.size and int(arr.max()) > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"{what}: max value {int(arr.max())} exceeds int32; shard this "
+            "index before narrowing (silent wraparound otherwise)"
+        )
+    return arr.astype(np.int32)
+
+
 def _pad_f32_down(a: np.ndarray) -> np.ndarray:
     """float64 → float32 rounded TOWARD -inf (never above the original)."""
     a32 = a.astype(np.float32)
@@ -104,7 +119,7 @@ class GridBBoxIndex:
         counts = np.array([len(v) for v in grid.values()], np.int64)[order]
         self.cell_offsets = np.zeros(len(keys) + 1, np.int64)
         np.cumsum(counts, out=self.cell_offsets[1:])
-        self.cell_offsets = self.cell_offsets.astype(np.int32)
+        self.cell_offsets = narrow_i32(self.cell_offsets, "GridBBoxIndex.cell_offsets")
         vals = list(grid.values())
         self.cell_boxes = (
             np.concatenate([np.array(vals[i], np.int32) for i in order])
@@ -227,10 +242,10 @@ class PolylineStore:
         offsets = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
         # int32 CSR: vertex totals stay far under 2^31 on broadcast sides
-        self.offsets = offsets.astype(np.int32)
+        self.offsets = narrow_i32(offsets, "PolylineStore.offsets")
         self.vx = np.concatenate(vxs) if len(vxs) else np.array([], np.float64)
         self.vy = np.concatenate(vys) if len(vys) else np.array([], np.float64)
-        self.counts = counts.astype(np.int32)
+        self.counts = narrow_i32(counts, "PolylineStore.counts")
         self.max_nv = int(counts.max()) if len(counts) else 0
 
     def bboxes(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -356,10 +371,10 @@ class PolygonStore:
         offsets = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
         # int32 CSR: vertex totals stay far under 2^31 on broadcast sides
-        self.offsets = offsets.astype(np.int32)
+        self.offsets = narrow_i32(offsets, "PolygonStore.offsets")
         self.vx = np.concatenate(vxs) if len(vxs) else np.array([], np.float64)
         self.vy = np.concatenate(vys) if len(vys) else np.array([], np.float64)
-        self.counts = counts.astype(np.int32)
+        self.counts = narrow_i32(counts, "PolygonStore.counts")
         self.max_nv = int(counts.max()) if len(counts) else 0
 
     def bboxes(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -610,8 +625,6 @@ def reproject_stage(
 
     def batch(b: pd.DataFrame) -> pd.DataFrame:
         xs, ys = fn(b[x_col].to_numpy(np.float64), b[y_col].to_numpy(np.float64))
-        b[out_x] = xs
-        b[out_y] = ys
-        return b
+        return b.assign(**{out_x: xs, out_y: ys})
 
     return ds.map_batches(batch, batch_format="pandas")

@@ -290,6 +290,30 @@ def test_sorted_map_groups_matches_map_groups():
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
 
 
+def test_sorted_map_groups_all_straddler_blocks():
+    """Regression (round-4 flake): a block whose segments are ALL boundary
+    straddlers must yield nothing — fn must never see an empty frame, so a
+    UDF doing ``g.iloc[0]`` (legal under map_groups) cannot crash on rare
+    block layouts."""
+    import numpy as np
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import sorted_map_groups
+
+    # 2 groups scattered across 16 blocks: after the range sort almost
+    # every block consists ONLY of straddling groups.
+    df = pd.DataFrame({"g": np.arange(400) % 2, "v": np.arange(400)})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(16)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # .iloc[0] crashes on an empty frame — the map_groups contract
+        return pd.DataFrame({"g": [int(g["g"].iloc[0])], "vsum": [int(g["v"].sum())]})
+
+    got = sorted_map_groups(ds, ["g"], fn).to_pandas().sort_values("g").reset_index(drop=True)
+    want = df.groupby("g", as_index=False)["v"].sum().rename(columns={"v": "vsum"})
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_distributed_cc_multiblock_chains():
     """Alias set spread over many blocks with 3-hop chains: the
     partitioned-join propagation must close every chain without any
@@ -318,3 +342,63 @@ def test_distributed_cc_multiblock_chains():
         or lut.get(f"https://c.example/{i}") != f"https://pids.geoconnex.dev/s/{i}"
     ]
     assert not bad, bad[:5]
+
+
+def test_distributed_cc_nonconvergence_raises():
+    """A chain longer than max_iters-1 hops must raise, never return
+    silently-split clusters (round-4 advice, medium)."""
+    import pytest
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import connected_components_distributed
+
+    # one 8-hop chain: needs ~8 propagation rounds; max_iters=3 allows 2
+    rows = [
+        {"node": f"https://x.example/{i}", "root": f"https://x.example/{i + 1}"}
+        for i in range(8)
+    ]
+    edges = rd.from_items(rows).repartition(4)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(edges, max_iters=3).materialize()
+    # and with enough rounds the same chain closes fine
+    labels = connected_components_distributed(edges, max_iters=12).to_pandas()
+    assert set(labels["label"]) == {"https://x.example/0"}
+
+
+def test_sorted_agg_by_float_composite_keys():
+    """Composite keys with a FLOAT column: the dup filter must compare the
+    same Arrow string rendering on both sides — pandas astype(str) gives
+    '1.0' where Arrow's cast gives '1', which used to let superseded
+    per-block partial rows survive (round-4 advice, low)."""
+    import numpy as np
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import sorted_agg_by
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 8, n),
+            "k2": rng.integers(0, 3, n).astype(np.float64),  # float key: 0.0/1.0/2.0
+            "v": rng.integers(0, 10_000, n),
+        }
+    )
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(11)
+    got = (
+        sorted_agg_by(ds, ["k1", "k2"], {"v": "min"})
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], as_index=False)["v"]
+        .min()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    # no duplicated keys may survive, and values must be the exact mins
+    assert not got.duplicated(subset=["k1", "k2"]).any()
+    pd.testing.assert_frame_equal(
+        got.astype({"v": np.int64}), want.astype({"v": np.int64}), check_dtype=False
+    )

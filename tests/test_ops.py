@@ -1160,3 +1160,19 @@ def test_triple_index_hot_key_no_block_collision(tmp_path):
     man = pd.read_parquet(f"{out}/pos/_index_manifest.parquet")
     assert len(man) >= 2 and man["rows"].sum() == n
     assert tidx.lookup(out, "pos", "p0").count() == n
+
+
+def test_narrow_i32_bounds_check():
+    """int64 → int32 CSR narrowing must raise past 2^31, never wrap
+    (round-4 advice: silent wraparound corrupts candidate generation at
+    exactly the scale the engine targets)."""
+    import numpy as np
+    import pytest
+
+    from scheduler_ray.stages.spatial import narrow_i32
+
+    ok = np.array([0, 5, 2**31 - 1], np.int64)
+    assert narrow_i32(ok, "t").dtype == np.int32
+    assert narrow_i32(np.array([], np.int64), "t").size == 0
+    with pytest.raises(OverflowError, match="exceeds int32"):
+        narrow_i32(np.array([0, 2**31], np.int64), "t")
