@@ -124,6 +124,38 @@ def run_bench() -> dict:
     if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
         stages = stage_microbench(fx, index_ref)
 
+    # GRAFT_FS_BENCH=1: the flagship write→commit→read round trip through
+    # each filesystem seam (round-4 verdict item 7 — the object-store path
+    # needs a PERF receipt, not only the pytest writer matrix).  The
+    # fsspec 'file' protocol exercises the full non-local code path
+    # (fsspec pipe/open + PyFileSystem parquet reads + no-rename commit
+    # protocol) minus only the network itself.
+    fs_seam = {}
+    if int(os.environ.get("GRAFT_FS_BENCH", "0")):
+        from scheduler_ray.pipelines.streaming import write_canonical_single_pass
+        from scheduler_ray.state.fs import FsspecFS, LocalFS, NoRenameFS
+
+        registry = index_ref if index_ref is not None else f"{fx}/registry.parquet"
+        sources = flagship.load_sources_only(fx)
+        for fs_name, fs_impl in (
+            ("local", LocalFS()),
+            ("norename", NoRenameFS()),
+            ("fsspec_file", FsspecFS("file")),
+        ):
+            fs_out = f"/tmp/scheduler_ray_bench/fsb_{NUM_CPUS}_{fs_name}"
+            shutil.rmtree(fs_out, ignore_errors=True)
+            raw = flagship.raw_triples(
+                flagship.read_pages(fx), registry, sources, cfg,
+                index_cache_path=f"{fx}/{INDEX_CACHE_NAME}",
+            )
+            t0 = time.time()
+            write_canonical_single_pass(
+                raw, fs_out, drop_sameas=cfg.drop_sameas, fs=fs_impl
+            )
+            n_rt = flagship.read_graph(fs_out, fs=fs_impl).count()
+            fs_seam[fs_name] = {"sec": round(time.time() - t0, 3), "rows": n_rt}
+            shutil.rmtree(fs_out, ignore_errors=True)
+
     ray.shutdown()
     return {
         "metric": "flagship_kg_wall_sec",
@@ -139,6 +171,7 @@ def run_bench() -> dict:
         "page_kb": PAGE_KB,
         "corpus_shape": CORPUS_SHAPE,
         "stages": stages,
+        **({"fs_seam": fs_seam} if fs_seam else {}),
     }
 
 
@@ -189,9 +222,23 @@ def stage_microbench(fx: str, index_ref, batch_rows: int = 4096) -> dict:
     fs = LocalFS()
     t_write, _ = _min_of(lambda: _write_block(linked, tmp, True, fs))
     shutil.rmtree(tmp, ignore_errors=True)
+    # minhash signature kernel (round-5: OPH rolling-hash rewrite — the
+    # round-4 per-row-Python kernel measured ~27 s per 50k docs; record
+    # docs/s here so the speedup is attributable from BENCH files alone)
+    from scheduler_ray.stages.dedup import MinHasher
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pandas()["text"]
+    mh = MinHasher(n_perm=64, k=5, mode="char")
+    t_sig, _ = _min_of(lambda: mh.signatures(docs))
     return {
         "batch_pages": pages.num_rows,
         "batch_triples": linked.num_rows,
+        "batch_docs": len(docs),
+        "minhash_sig_sec": round(t_sig, 4),
+        "minhash_docs_per_sec": round(len(docs) / max(t_sig, 1e-9)),
         "extract_sec": round(t_extract, 4),
         "expand_sec": round(t_expand, 4),
         "link_sec": round(t_link, 4),
@@ -226,13 +273,21 @@ def main() -> None:
         # minimum estimates the uncontended machine.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-        reps = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+        reps = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
         # a bare --scaling should measure the representative scale: small
         # inputs make the fixed per-execution costs dominate and the
         # efficiency number meaningless
         os.environ.setdefault("GRAFT_AMPLIFY", "640")
-        runs_lo = [run_at(lo) for _ in range(reps)]
-        runs_hi = [run_at(hi) for _ in range(reps)]
+        # INTERLEAVE the levels (A/B/A/B…, round-4 verdict item 4): host
+        # noise comes in multi-minute phases; running all lo repeats then
+        # all hi repeats lets one phase hit a single level and skew the
+        # ratio, while interleaving gives both levels a sample of every
+        # phase, so the per-level minima stay comparable within ONE
+        # invocation
+        runs_lo, runs_hi = [], []
+        for _ in range(reps):
+            runs_lo.append(run_at(lo))
+            runs_hi.append(run_at(hi))
         r_lo = min(runs_lo, key=lambda r: r["value"])
         r_hi = min(runs_hi, key=lambda r: r["value"])
         tp_lo = r_lo["triples_per_sec"]

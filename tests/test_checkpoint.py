@@ -170,3 +170,71 @@ def test_read_output_ignores_uncommitted_partition(fixture_sf0001, tmp_out):
     assert ds.count() == total
     gvals = set(ds.unique("graph"))
     assert "bogus" not in gvals and len(gvals) == 20
+
+
+# ----------------------------------------------------- publishing dry runs
+def _release_dir(tmp_path):
+    d = tmp_path / "graphs"
+    d.mkdir()
+    (d / "src1_release.nq").write_text("<s> <p> <o> <g> .\n")
+    (d / "src2_release.nq.gz").write_bytes(b"\x1f\x8b fake")
+    (d / "src1_release.nq.bytesum").write_text("123")
+    (d / "notes.txt").write_text("not a graph")
+    return str(d)
+
+
+def test_oci_push_manifest_golden(tmp_path):
+    """S11 dry run matches the reference's oras push contract
+    (export.py:249-262): nq/nq.gz layers only, date+latest tags, the two
+    image annotations."""
+    from scheduler_ray.pipelines.publish import oci_push_manifest
+
+    m = oci_push_manifest(_release_dir(tmp_path), date_str="2026_08_18")
+    assert m.target == "ghcr.io/internetofwater/geoconnex-graph:2026_08_18,latest"
+    assert [f["file"] for f in m.files] == ["src1_release.nq", "src2_release.nq.gz"]
+    assert all(f["media_type"] == "application/n-quads" for f in m.files)
+    assert sorted(s["file"] for s in m.skipped) == [
+        "notes.txt",
+        "src1_release.nq.bytesum",
+    ]
+    assert "org.opencontainers.image.source" in m.metadata["annotations"]
+    assert m.command.startswith("oras push ghcr.io/")
+    # test mode routes to the local registry, like RUNNING_AS_TEST_OR_DEV
+    m2 = oci_push_manifest(str(tmp_path / "graphs"), date_str="2026_08_18", test_mode=True)
+    assert m2.target.startswith("localhost:5000/")
+
+
+def test_lakefs_copy_manifest_golden(tmp_path):
+    """S12 dry run matches classes.py:297-330: include *.nq/*.nq.gz,
+    exclude *.bytesum, branch pre-clear + commit message with the source
+    prefix."""
+    from scheduler_ray.pipelines.publish import lakefs_copy_manifest
+
+    m = lakefs_copy_manifest(
+        _release_dir(tmp_path),
+        source_prefix="graphs/latest",
+        destination_branch="release_2026_08",
+        destination_prefix="geoconnex/release_graphs",
+    )
+    assert m.target == "lakefs:geoconnex/release_2026_08/geoconnex/release_graphs"
+    assert [f["file"] for f in m.files] == ["src1_release.nq", "src2_release.nq.gz"]
+    reasons = {s["file"]: s["reason"] for s in m.skipped}
+    assert reasons["src1_release.nq.bytesum"] == "--exclude *.bytesum"
+    assert "graphs/latest" in m.metadata["commit_message"]
+    assert "--include *.nq" in m.command and "--exclude *.bytesum" in m.command
+    assert m.command.startswith("rclone copy gs:iow/graphs/latest ")
+
+
+def test_zenodo_deposit_manifest_golden(tmp_path):
+    """S13 dry run matches export.py:465-522: bytesum silently skipped,
+    other non-nq files warn-skipped, per-file sizes recorded, fixed deposit
+    metadata."""
+    from scheduler_ray.pipelines.publish import zenodo_deposit_manifest
+
+    m = zenodo_deposit_manifest(_release_dir(tmp_path))
+    assert [f["file"] for f in m.files] == ["src1_release.nq", "src2_release.nq.gz"]
+    assert all(f["size_bytes"] > 0 for f in m.files)
+    assert [s["file"] for s in m.skipped] == ["notes.txt"]  # bytesum is silent
+    md = m.metadata["metadata"]
+    assert md["title"] == "Geoconnex Graph" and md["upload_type"] == "dataset"
+    assert md["creators"][0]["name"] == "Internet of Water Coalition"

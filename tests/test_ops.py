@@ -1176,3 +1176,35 @@ def test_narrow_i32_bounds_check():
     assert narrow_i32(np.array([], np.int64), "t").size == 0
     with pytest.raises(OverflowError, match="exceeds int32"):
         narrow_i32(np.array([0, 2**31], np.int64), "t")
+
+
+def test_join_auto_partitioned_matches_broadcast():
+    """join_auto with a forced ceiling of 1 (partitioned Dataset.join path)
+    must produce exactly the broadcast path's rows and schema — mirrors
+    kg_canonical_joined's broadcast/distributed equivalence pattern."""
+    import numpy as np
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import join_auto
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame(
+        {"o_custkey": rng.integers(0, 40, 500), "o_totalprice": rng.random(500) * 100}
+    )
+    dim = pd.DataFrame(
+        {"c_custkey": np.arange(40), "c_mktsegment": [f"seg{i % 5}" for i in range(40)]}
+    )
+    big_ds = rd.from_pandas(big).repartition(6)
+    dim_ds = rd.from_pandas(dim).repartition(3)
+
+    bcast = join_auto(
+        big_ds, dim_ds, on="o_custkey", right_on="c_custkey"
+    ).to_pandas()
+    part = join_auto(
+        big_ds, dim_ds, on="o_custkey", right_on="c_custkey", broadcast_max_rows=1
+    ).to_pandas()
+    cols = sorted(bcast.columns)
+    assert sorted(part.columns) == cols
+    b = bcast[cols].sort_values(cols).reset_index(drop=True)
+    p = part[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, p)
