@@ -52,3 +52,32 @@ def level_counts(batch: pa.Table, line_col: str = "line") -> dict[str, int]:
         lv, _ = parse_log_line(line if line is not None else "")
         out[lv] += 1
     return out
+
+
+def failure_alert_text(message: str, partition_key: str | None = None) -> str:
+    """The failure-notification text contract (reference
+    ``userCode/lib/dagster.py:87-95`` ``slack_error_fn`` + the run-failure
+    sensor wiring in ``userCode/defs.py:129-138``): partitioned failures
+    name the source being crawled; unpartitioned ones just carry the
+    error.  The alert FAN-OUT (Slack) is an external transport out of
+    sandbox scope — this renders the exact message a runner would send."""
+    if partition_key:
+        return (
+            f"Error in Geoconnex pipeline for partition: "
+            f"`{partition_key}`: `{message}`"
+        )
+    return f"Error in Geoconnex pipeline: `{message}`"
+
+
+def failure_alerts(batch: pa.Table, line_col: str = "line", partition_col: str | None = None) -> pa.Table:
+    """Alert manifest from a parsed log stream: one row per error/critical
+    line, carrying the rendered notification text.  Pure data — a thin
+    runner owns the delivery, mirroring how the reference's sensor watches
+    run failures rather than the pipeline posting inline."""
+    parsed = parse_log_batch(batch, line_col)
+    import pyarrow.compute as pc
+
+    bad = parsed.filter(pc.is_in(parsed["level"], value_set=pa.array(["error", "critical"])))
+    parts = bad[partition_col].to_pylist() if partition_col and partition_col in bad.column_names else [None] * bad.num_rows
+    texts = [failure_alert_text(m, p) for m, p in zip(bad["msg"].to_pylist(), parts)]
+    return bad.append_column("alert_text", pa.array(texts, pa.large_string()))

@@ -274,10 +274,12 @@ SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup pairs over the REAL near-duplicates the
-    documents table contains.  32 bands × 2 rows make detection of
-    j ≥ 0.8 pairs certain to ~1e-14, and every candidate is verified with
+    documents table contains.  32 bands × 4 rows (128 OPH perms) make
+    detection of j ≥ 0.8 pairs certain to ~5e-8 while keeping the
+    boilerplate-pair fire rate low, and every candidate is verified with
     exact 5-shingle Jaccard — so the result equals the exhaustive
-    ≥-threshold pair set the DuckDB oracle computes."""
+    ≥-threshold pair set the DuckDB oracle computes (hash-verified at
+    sf0.001/0.01/0.1)."""
     return dd.minhash_lsh_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.8
     )

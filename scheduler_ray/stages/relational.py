@@ -126,6 +126,70 @@ def semi_join(big: Dataset, keys: pd.Series | np.ndarray, on: str, *, anti: bool
     return big.map_batches(filt, batch_format="pandas")
 
 
+def semi_join_auto(
+    big: Dataset,
+    keys: "Dataset | pd.Series | np.ndarray",
+    on: str,
+    *,
+    anti: bool = False,
+    broadcast_max_rows: int | None = None,
+) -> Dataset:
+    """Size-gated semi/anti join: broadcast the key set while it fits
+    (the J3/D3 pattern — ``ray.put`` once, ``isin`` per batch); above the
+    ceiling, shuffle instead — distinct keys (``sorted_agg_by``) marked
+    with a constant column, ``left_outer`` hash join, filter on the
+    marker.  Deduping the key side first keeps the big side's cardinality
+    exact (a duplicated key would otherwise fan out join rows).  At 100 TB
+    the crawl seen-set / staleness key set stops being broadcastable —
+    this is the same escape hatch ``join_auto`` gives dimension joins.
+    """
+    import ray.data as rd
+
+    ceiling = (
+        JOIN_BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    )
+    is_ds = isinstance(keys, Dataset)
+    n_keys = keys.count() if is_ds else len(keys)
+    if n_keys <= ceiling:
+        arr = (
+            keys.to_pandas().iloc[:, 0].to_numpy() if is_ds else np.asarray(keys)
+        )
+        return semi_join(big, arr, on, anti=anti)
+
+    from .canonicalize import _drop_empty_blocks, sorted_agg_by
+
+    keys_ds = keys if is_ds else rd.from_pandas(pd.DataFrame({on: np.asarray(keys)}))
+
+    def as_marked(t):
+        import pyarrow as pa
+
+        col = t.column(0)
+        return pa.table({on: col, "__sj_marker": pa.array([1] * len(col), pa.int8())})
+
+    marked = sorted_agg_by(keys_ds, keys_ds.schema().names[0], {}).map_batches(
+        as_marked, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_parts = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    joined = _drop_empty_blocks(big).join(
+        _drop_empty_blocks(marked),
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=(on,),
+    )
+
+    def finish(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hit = pc.is_valid(t["__sj_marker"])
+        keep = pc.invert(hit) if anti else hit
+        return t.filter(keep).drop_columns(["__sj_marker"])
+
+    return _drop_empty_blocks(
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def partial_groupby_sum(
     ds: Dataset,
     keys: list[str],

@@ -155,3 +155,35 @@ def test_sql_sink_chunked_load_and_audit(fixture_sf0001, tmp_out):
     idx = {r[0] for r in con.execute("SELECT index_name FROM duckdb_indexes()").fetchall()}
     assert {"features_id_idx", "features_sitemap_idx"} <= idx
     con.close()
+
+
+def test_failure_alerts_contract():
+    """Failure-notification text matches the reference's slack_error_fn
+    (partitioned vs unpartitioned), and only error/critical lines alert."""
+    import pyarrow as pa
+
+    from scheduler_ray.functions.logs import failure_alert_text, failure_alerts
+
+    assert (
+        failure_alert_text("boom", "src7")
+        == "Error in Geoconnex pipeline for partition: `src7`: `boom`"
+    )
+    assert failure_alert_text("boom") == "Error in Geoconnex pipeline: `boom`"
+
+    t = pa.table(
+        {
+            "line": [
+                '{"level": "error", "msg": "fetch failed"}',
+                '{"level": "info", "msg": "ok"}',
+                '{"level": "critical", "msg": "index corrupt"}',
+                "not json at all",
+            ],
+            "source_id": ["s1", "s1", "s2", "s2"],
+        }
+    )
+    out = failure_alerts(t, partition_col="source_id")
+    assert out.num_rows == 2
+    assert out["alert_text"].to_pylist() == [
+        "Error in Geoconnex pipeline for partition: `s1`: `fetch failed`",
+        "Error in Geoconnex pipeline for partition: `s2`: `index corrupt`",
+    ]

@@ -1208,3 +1208,34 @@ def test_join_auto_partitioned_matches_broadcast():
     b = bcast[cols].sort_values(cols).reset_index(drop=True)
     p = part[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(b, p)
+
+
+def test_semi_join_auto_partitioned_matches_broadcast():
+    """semi_join_auto with a forced ceiling of 1 (distributed marker-join
+    path) must produce exactly the broadcast isin path's rows, for both
+    semi and anti, including duplicate keys on the key side (which must
+    NOT fan out big-side rows)."""
+    import numpy as np
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import semi_join_auto
+
+    rng = np.random.default_rng(3)
+    big = pd.DataFrame(
+        {"url": [f"u{i % 50}" for i in range(400)], "v": rng.integers(0, 100, 400)}
+    )
+    # duplicated keys on purpose
+    keys = pd.DataFrame({"url": [f"u{i}" for i in list(range(0, 30)) * 3]})
+    big_ds = rd.from_pandas(big).repartition(5)
+    keys_ds = rd.from_pandas(keys).repartition(3)
+
+    for anti in (False, True):
+        bcast = semi_join_auto(big_ds, keys["url"], "url", anti=anti).to_pandas()
+        part = semi_join_auto(
+            big_ds, keys_ds, "url", anti=anti, broadcast_max_rows=1
+        ).to_pandas()
+        cols = sorted(bcast.columns)
+        assert sorted(part.columns) == cols
+        b = bcast[cols].sort_values(cols).reset_index(drop=True)
+        p = part[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, p), anti
