@@ -256,7 +256,20 @@ class RegistryIndex:
             pt_idx = np.flatnonzero(has_pt)
             xs = np.array([points[i][0] for i in pt_idx], np.float64)
             ys = np.array([points[i][1] for i in pt_idx], np.float64)
-            prow, boxes = self.spatial.query_pairs(xs, ys)
+            # deferred-verify plan (GridPolygonIndex only): take the cheap
+            # bbox-grid candidates now and run the exact ray-cast verify
+            # LATER, on just the pairs whose token score clears min_score —
+            # a pair below min_score can never match, so verifying it is
+            # wasted work (with heavily overlapping registries the grid
+            # yields tens of bbox candidates per mention, of which ~1 has
+            # a token hit).  The match set {bbox ∧ ray-cast ∧ score ≥
+            # min_score} is identical either way.
+            verify = getattr(self.spatial, "store", None)
+            if verify is not None and min_score > 0:
+                prow, boxes = self.spatial.grid.query_pairs(xs, ys)
+            else:
+                prow, boxes = self.spatial.query_pairs(xs, ys)
+                verify = None
             if len(prow):
                 # score spatial pairs by intersecting them with the
                 # token-blocking candidate pairs (same discriminative
@@ -276,6 +289,12 @@ class RegistryIndex:
                 hit = tkey_s[pos_c] == skey if len(tkey_s) else np.zeros(len(skey), bool)
                 score = np.zeros(len(skey), np.float64)
                 score[hit] = tscore[t_order[pos_c[hit]]]
+                if verify is not None:
+                    # exact containment verify on the scoring pairs only
+                    cand = np.flatnonzero(score >= min_score)
+                    ok = verify.contains_pairs(xs, ys, prow[cand], boxes[cand])
+                    sel = cand[ok]
+                    prow, boxes, score = prow[sel], boxes[sel], score[sel]
                 # deterministic argmax per mention: score desc, box asc
                 o3 = np.lexsort((boxes, -score, prow))
                 pr_s, bx_s, sc_s = prow[o3], boxes[o3], score[o3]
