@@ -165,22 +165,114 @@ def _write_block(
     )
 
 
-@ray.remote(num_cpus=1)
+# num_cpus=0: each merge wave is milliseconds of compute over at most
+# fanout small pair tables, but during the main pass every whole CPU is
+# held by the fused map tasks — a num_cpus=1 merge would QUEUE until the
+# execute phase drains and the "overlapped" tree merge would serialize
+# into a tail.  Zero-cpu tasks schedule immediately alongside the stream.
+@ray.remote(num_cpus=0)
 def _read_merge_pairs(fs, *paths: str) -> pa.Table:
     return _merge_pair_tables([fs.read_table(p) for p in paths])
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=0)
 def _merge_pairs(*tables: pa.Table) -> pa.Table:
     return _merge_pair_tables(list(tables))
 
 
-@ray.remote(num_cpus=1)
-def _finish_lut(*tables: pa.Table) -> tuple:
-    final = _merge_pair_tables(list(tables))
-    return build_rewrite_lut(
-        final["node"].combine_chunks(), final["root"].combine_chunks()
+#: node-hash range shards for the final merge+LUT build (2^3 = 8 tasks).
+#: Sharding by NODE hash keeps every duplicate/conflicting pair for one
+#: node in one shard, so per-shard closure is exact within the shard.
+_LUT_SHARD_BITS = 3
+
+
+@ray.remote(num_cpus=0)
+def _finish_lut_shard(shard: int, *tables: pa.Table) -> tuple:
+    """Resolve one node-hash range of the pair set and build its LUT
+    slice.  Returns ``(keys_sorted, vals_sorted, kh_sorted, unique,
+    root_hashes, in_range)`` — the last two feed the soundness checks in
+    :func:`_concat_lut_shards`: ``root_hashes`` the cross-shard chain
+    check, ``in_range`` the key-escape check (a CONFLICTED alias set's
+    union-find closure can emit mapping keys drawn from the ROOT
+    universe, whose hashes leave this shard's node range)."""
+    shift = np.uint64(64 - _LUT_SHARD_BITS)
+    parts = []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        hn = t["node_hash"].to_numpy()
+        mask = (hn >> shift).astype(np.int64) == shard
+        if mask.any():
+            parts.append(t.filter(pa.array(mask)))
+    merged = _merge_pair_tables(parts)
+    keys, vals, kh, _bitmap, unique = build_rewrite_lut(
+        merged["node"].combine_chunks(), merged["root"].combine_chunks()
     )
+    rh = merged["root_hash"].to_numpy() if merged.num_rows else np.array([], np.uint64)
+    in_range = bool(len(kh) == 0 or ((kh >> shift).astype(np.int64) == shard).all())
+    return keys, vals, kh, unique, np.unique(rh), in_range
+
+
+@ray.remote(num_cpus=0)
+def _concat_lut_shards(*shards: tuple) -> tuple:
+    """Assemble the global rewrite LUT from per-shard slices.
+
+    The shard hash ranges are disjoint and ascending, so the hash-sorted
+    global arrays are the shards concatenated in shard order — no resort.
+    Two conditions force the exact global fallback (a re-closure over the
+    already per-shard-resolved pairs — sound, because per-shard closure
+    replaces a component's edges with star edges over the SAME member
+    strings, so global connectivity and min-label canons are preserved):
+
+    * a root hash appears as a node hash — a CROSS-shard alias chain (or
+      a hash collision) the per-shard closure could not follow;
+    * a shard emitted an out-of-range key — conflicted alias sets close
+      through union-find, which may mint mapping keys from the ROOT
+      universe, breaking the disjoint/ascending concat invariant.
+
+    On this engine's corpora chains are batch-local and neither fires;
+    the fallback exists for correctness, not speed."""
+    live = [s for s in shards if len(s[2])]
+    if not live:
+        return build_rewrite_lut(
+            pa.array([], pa.large_string()), pa.array([], pa.large_string())
+        )
+    kh = np.concatenate([s[2] for s in live])
+    rh = np.concatenate([s[4] for s in live])
+    pos = np.clip(np.searchsorted(kh, rh), 0, len(kh) - 1)
+    escaped = not all(s[5] for s in live)
+    if escaped or (len(kh) and bool((kh[pos] == rh).any())):
+        keys = pa.concat_arrays([pa.concat_arrays(s[0].chunks) if isinstance(s[0], pa.ChunkedArray) else s[0] for s in live])
+        vals = pa.concat_arrays([pa.concat_arrays(s[1].chunks) if isinstance(s[1], pa.ChunkedArray) else s[1] for s in live])
+        merged = _merge_pair_tables(
+            [
+                pa.table(
+                    {
+                        "node": keys,
+                        "root": vals,
+                        "node_hash": pa.array(_hash_large_string(keys), pa.uint64()),
+                        "root_hash": pa.array(_hash_large_string(vals), pa.uint64()),
+                    }
+                )
+            ]
+        )
+        return build_rewrite_lut(
+            merged["node"].combine_chunks(), merged["root"].combine_chunks()
+        )
+    keys = pa.concat_arrays(
+        [pa.concat_arrays(s[0].chunks) if isinstance(s[0], pa.ChunkedArray) else s[0] for s in live]
+    )
+    vals = pa.concat_arrays(
+        [pa.concat_arrays(s[1].chunks) if isinstance(s[1], pa.ChunkedArray) else s[1] for s in live]
+    )
+    from ..stages.canonicalize import _PREFIX_BITS
+
+    bitmap = None
+    if len(kh) >= 65536:
+        bitmap = np.zeros(1 << _PREFIX_BITS, bool)
+        bitmap[(kh >> np.uint64(64 - _PREFIX_BITS)).astype(np.int64)] = True
+    # shard ranges are disjoint, so uniqueness is per-shard uniqueness
+    return keys, vals, kh, bitmap, all(s[3] for s in live)
 
 
 class _PairMerger:
@@ -222,7 +314,14 @@ class _PairMerger:
                 _merge_pairs.remote(*refs[i : i + self.fanout])
                 for i in range(0, len(refs), self.fanout)
             ]
-        return _finish_lut.remote(*refs)
+        # sharded finish: the single-task final merge + LUT build was the
+        # serial tail of the whole write (concat+closure+sort of the full
+        # pair set); per-hash-range shards run it in parallel and the
+        # global LUT is their ordered concatenation
+        shard_refs = [
+            _finish_lut_shard.remote(s, *refs) for s in range(1 << _LUT_SHARD_BITS)
+        ]
+        return _concat_lut_shards.remote(*shard_refs)
 
 
 def _merge_pair_files_to_lut(pair_files: list[str], fs, merge_fanout: int = 8):

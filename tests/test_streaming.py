@@ -404,3 +404,86 @@ def test_pair_merger_eager_collapse_matches_direct(tmp_path):
     assert m.n_files == 40
     for a, b in zip(direct, incremental):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_lut_conflicted_alias_key_escape(ray_session):
+    """A conflicted alias set (same node, two roots) closes through
+    union-find, which can emit mapping keys drawn from the ROOT universe
+    — hashes outside the emitting shard's node range.  The sharded LUT
+    finish must detect the escape and fall back to the exact global
+    closure; the resulting LUT must behave exactly like an unsharded
+    build over the same pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from scheduler_ray.pipelines.streaming import (
+        _LUT_SHARD_BITS,
+        _concat_lut_shards,
+        _finish_lut_shard,
+    )
+    from scheduler_ray.stages.canonicalize import (
+        CanonicalRewriter,
+        _hash_large_string,
+        _merge_pair_tables,
+        build_rewrite_lut,
+    )
+
+    def mkpairs(pairs):
+        na = pa.array([p[0] for p in pairs], pa.large_string())
+        ra = pa.array([p[1] for p in pairs], pa.large_string())
+        return pa.table(
+            {"node": na, "root": ra,
+             "node_hash": pa.array(_hash_large_string(na), pa.uint64()),
+             "root_hash": pa.array(_hash_large_string(ra), pa.uint64())}
+        )
+
+    # conflicts (a_i → two roots), chains (root chains to a pid) and
+    # plain pairs, split across two leaf tables like the streaming merger
+    # produces
+    t1 = mkpairs(
+        [(f"https://m.example/a/{i}", f"https://p.example/r/{i}") for i in range(50)]
+        + [(f"https://m.example/a/{i}", f"https://pids.example/s/{i}") for i in range(50)]
+    )
+    t2 = mkpairs(
+        [(f"https://p.example/r/{i}", f"https://pids.example/s/{i}") for i in range(50)]
+        + [(f"https://m.example/b/{i}", f"https://pids.example/z/{i}") for i in range(20)]
+    )
+    refs = [ray.put(t1), ray.put(t2)]
+    shard_refs = [
+        _finish_lut_shard.remote(s, *refs) for s in range(1 << _LUT_SHARD_BITS)
+    ]
+    sharded = ray.get(_concat_lut_shards.remote(*shard_refs))
+    # unsharded oracle over the identical pair set
+    merged = _merge_pair_tables([t1, t2])
+    oracle = build_rewrite_lut(
+        merged["node"].combine_chunks(), merged["root"].combine_chunks()
+    )
+    # the LUT arrays must agree exactly (same keys, same canons, sorted)
+    np.testing.assert_array_equal(sharded[2], oracle[2])
+    assert sharded[0].to_pylist() == oracle[0].to_pylist()
+    assert sharded[1].to_pylist() == oracle[1].to_pylist()
+    # and the rewriter must canonicalize every alias (no alias survives)
+    rw = CanonicalRewriter(sharded, drop_sameas=False)
+    probe = pa.table(
+        {
+            "subj": pa.array(
+                [f"https://m.example/a/{i}" for i in range(50)]
+                + [f"https://p.example/r/{i}" for i in range(50)],
+                pa.large_string(),
+            ),
+            "pred": pa.array(["p"] * 100, pa.large_string()),
+            "obj": pa.array(["x"] * 100, pa.large_string()),
+            "obj_is_literal": pa.array([True] * 100),
+            "graph": pa.array(["g"] * 100, pa.large_string()),
+        }
+    )
+    got = rw(probe)["subj"].to_pylist()
+    want = CanonicalRewriter(oracle, drop_sameas=False)(probe)["subj"].to_pylist()
+    assert got == want
+    # every probe row is an alias in some conflicted/chained set, so the
+    # rewrite must move every row off its original spelling or onto the
+    # set's min-label canon — none may dangle at an intermediate alias
+    merged_keys = set(merged["node"].to_pylist())
+    assert all(g not in merged_keys for g in got), [g for g in got if g in merged_keys][:5]
