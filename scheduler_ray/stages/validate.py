@@ -40,6 +40,10 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+#: sentinel distinguishing an absent property from a None value
+_MISSING = object()
+
+
 @dataclass
 class PropertyShape:
     path: str
@@ -57,10 +61,21 @@ class PropertyShape:
     exactly_one: "tuple[PropertyShape, ...] | None" = None  # sh:xone
     severity: str = "Violation"  # sh:severity — only Violation gates validity
     _rx: re.Pattern | None = field(default=None, repr=False)
+    #: set by compile(): True when _check_scalar has any constraint to
+    #: test — lets check() skip the call entirely for edge-only shapes
+    #: (the hot path: most shapes constrain presence/cardinality, not
+    #: scalar form).  Defaults True so an uncompiled shape stays correct.
+    _has_scalar: bool = field(default=True, repr=False)
 
     def compile(self) -> "PropertyShape":
         if self.pattern:
             self._rx = re.compile(self.pattern)
+        self._has_scalar = bool(
+            self.datatype
+            or self.pattern
+            or self.min_value is not None
+            or self.max_value is not None
+        )
         for nested in (self.node, self.alternatives, self.exactly_one):
             for s in nested or ():
                 s.compile()
@@ -70,11 +85,11 @@ class PropertyShape:
 
     def check(self, node: dict, out: list[str], warn: list[str] | None = None) -> None:
         sink = out if self.severity == "Violation" else (warn if warn is not None else [])
-        if self.path not in node:
+        vals = node.get(self.path, _MISSING)
+        if vals is _MISSING:
             if self.required or self.min_count >= 1:
                 sink.append(f"missing:{self.path}")
             return
-        vals = node[self.path]
         vlist = vals if isinstance(vals, list) else [vals]
         # sh:minCount > 1 / sh:maxCount — cardinality over the value list
         # (SHACL counts value nodes; a present scalar counts 1)
@@ -110,7 +125,8 @@ class PropertyShape:
                     for shape in self.node:
                         shape.check(v, out, warn)
                 continue  # other nested-node constraints validated separately
-            self._check_scalar(v, sink)
+            if self._has_scalar:
+                self._check_scalar(v, sink)
 
     def _check_scalar(self, v, sink: list[str]) -> None:
         if self.datatype == "uri" and not (
