@@ -26,7 +26,15 @@ does, matching SHACL conformance semantics) — and, since round 4,
 (EXACTLY one alternative must be satisfied), and ``sh:closed`` /
 ``sh:ignoredProperties`` (closed-world node shapes: undeclared
 properties are violations; ingested from shapes graphs via
-:class:`ShapeSet`).
+:class:`ShapeSet`) — and, since round 5, SHACL property PATHS:
+sequence paths (``sh:path ( ex:a ex:b )`` — follow a then b, resolving
+``{"@id": ...}`` references through the document's ``@graph``), inverse
+paths (``sh:path [sh:inversePath ex:a]`` — the value nodes are the
+graph nodes that point AT the focus node via a) and alternative paths
+(``sh:path [sh:alternativePath ( ex:a ex:b )]`` — union of values).
+Per the SHACL spec, ``sh:closed`` only counts property shapes whose
+path is a plain IRI — path-expression shapes never widen the allowed
+set.
 """
 
 from __future__ import annotations
@@ -60,12 +68,24 @@ class PropertyShape:
     negated: "PropertyShape | None" = None  # sh:not — value must NOT satisfy
     exactly_one: "tuple[PropertyShape, ...] | None" = None  # sh:xone
     severity: str = "Violation"  # sh:severity — only Violation gates validity
+    #: SHACL property-path expressions (round 5).  When any is set,
+    #: ``path`` becomes a display label ("a/b", "^a", "a|b") and value
+    #: resolution goes through :meth:`_path_values` instead of a direct
+    #: ``node[path]`` read.  At most one of the three is set.
+    seq: "tuple[str, ...] | None" = None  # sequence path — follow each step
+    inverse: str | None = None  # inverse path — nodes pointing AT the focus
+    alt_paths: "tuple[str, ...] | None" = None  # alternative path — union
     _rx: re.Pattern | None = field(default=None, repr=False)
     #: set by compile(): True when _check_scalar has any constraint to
     #: test — lets check() skip the call entirely for edge-only shapes
     #: (the hot path: most shapes constrain presence/cardinality, not
     #: scalar form).  Defaults True so an uncompiled shape stays correct.
     _has_scalar: bool = field(default=True, repr=False)
+    #: set by compile(): True when value resolution walks the document
+    #: graph (sequence steps resolve {"@id"} refs; inverse paths scan the
+    #: node list) — lets validate_parsed build the id map only when a
+    #: shape actually needs it.
+    _needs_graph: bool = field(default=False, repr=False)
 
     def compile(self) -> "PropertyShape":
         if self.pattern:
@@ -76,6 +96,7 @@ class PropertyShape:
             or self.min_value is not None
             or self.max_value is not None
         )
+        self._needs_graph = bool(self.seq or self.inverse)
         for nested in (self.node, self.alternatives, self.exactly_one):
             for s in nested or ():
                 s.compile()
@@ -83,14 +104,78 @@ class PropertyShape:
             self.negated.compile()
         return self
 
-    def check(self, node: dict, out: list[str], warn: list[str] | None = None) -> None:
+    def _path_values(self, node: dict, graph: "dict | None") -> list:
+        """Resolve a property-PATH expression to its value nodes.
+
+        ``graph`` is the per-document context built by validate_parsed:
+        ``{"nodes": [node, ...], "ids": {"@id" -> node}}`` (None outside
+        an @graph document — sequence paths then resolve only inline
+        nesting, inverse paths only see the focus node itself)."""
+        if self.inverse is not None:
+            focus = node.get("@id")
+            if focus is None:
+                return []
+            out: list = []
+            for n in graph["nodes"] if graph else (node,):
+                if not isinstance(n, dict):
+                    continue
+                vals = n.get(self.inverse)
+                if vals is None:
+                    continue
+                for v in vals if isinstance(vals, list) else [vals]:
+                    ref = v.get("@id") if isinstance(v, dict) else v
+                    if ref == focus:
+                        out.append(n)
+            return out
+        if self.alt_paths is not None:
+            out = []
+            for pth in self.alt_paths:
+                v = node.get(pth, _MISSING)
+                if v is _MISSING:
+                    continue
+                out.extend(v if isinstance(v, list) else [v])
+            return out
+        # sequence path: follow each step, resolving pure {"@id": ...}
+        # references through the document graph so a hop can cross nodes
+        frontier: list = [node]
+        ids = graph["ids"] if graph else {}
+        for step in self.seq or ():
+            nxt: list = []
+            for f in frontier:
+                if isinstance(f, dict) and "@id" in f and len(f) == 1:
+                    f = ids.get(f["@id"], f)
+                if not isinstance(f, dict):
+                    continue
+                v = f.get(step, _MISSING)
+                if v is _MISSING:
+                    continue
+                nxt.extend(v if isinstance(v, list) else [v])
+            frontier = nxt
+            if not frontier:
+                break
+        return frontier
+
+    def check(
+        self,
+        node: dict,
+        out: list[str],
+        warn: list[str] | None = None,
+        graph: "dict | None" = None,
+    ) -> None:
         sink = out if self.severity == "Violation" else (warn if warn is not None else [])
-        vals = node.get(self.path, _MISSING)
-        if vals is _MISSING:
-            if self.required or self.min_count >= 1:
-                sink.append(f"missing:{self.path}")
-            return
-        vlist = vals if isinstance(vals, list) else [vals]
+        if self.seq or self.inverse or self.alt_paths:
+            vlist = self._path_values(node, graph)
+            if not vlist:
+                if self.required or self.min_count >= 1:
+                    sink.append(f"missing:{self.path}")
+                return
+        else:
+            vals = node.get(self.path, _MISSING)
+            if vals is _MISSING:
+                if self.required or self.min_count >= 1:
+                    sink.append(f"missing:{self.path}")
+                return
+            vlist = vals if isinstance(vals, list) else [vals]
         # sh:minCount > 1 / sh:maxCount — cardinality over the value list
         # (SHACL counts value nodes; a present scalar counts 1)
         if self.min_count > 1 and len(vlist) < self.min_count:
@@ -123,7 +208,7 @@ class PropertyShape:
                         sink.append(f"class:{self.path}:{self.class_type}")
                 if self.node:
                     for shape in self.node:
-                        shape.check(v, out, warn)
+                        shape.check(v, out, warn, graph)
                 continue  # other nested-node constraints validated separately
             if self._has_scalar:
                 self._check_scalar(v, sink)
@@ -277,13 +362,28 @@ def validate_parsed(
     # properties, and stay allowed)
     closed = getattr(shapes, "closed", False)
     if closed:
+        # per the SHACL spec, sh:closed counts only property shapes whose
+        # path is a plain IRI — path expressions never widen the allowed set
         allowed = (
-            {s.path for s in shapes}
+            {s.path for s in shapes if not (s.seq or s.inverse or s.alt_paths)}
             | {"@id", "@type", "@context", "@graph"}
             | set(getattr(shapes, "ignored", ()))
         )
     nodes = doc.get("@graph")
-    for node in nodes if isinstance(nodes, list) else [doc]:
+    node_list = nodes if isinstance(nodes, list) else [doc]
+    # document-graph context for property-path shapes, built only when a
+    # shape resolves through it (sequence @id hops / inverse scans)
+    graph_ctx = None
+    if any(getattr(s, "_needs_graph", False) for s in shapes):
+        graph_ctx = {
+            "nodes": node_list,
+            "ids": {
+                n["@id"]: n
+                for n in node_list
+                if isinstance(n, dict) and isinstance(n.get("@id"), str)
+            },
+        }
+    for node in node_list:
         if not isinstance(node, dict):
             out.append("bad-node")
             continue
@@ -293,7 +393,7 @@ def validate_parsed(
         for shape in shapes:
             if is_edge_only and shape.path not in node and shape.path != "@id":
                 continue  # bare sameAs edge nodes carry no payload
-            shape.check(node, out, warnings)
+            shape.check(node, out, warnings, graph_ctx)
         geo = node.get("schema:geo")
         if isinstance(geo, dict):
             if getattr(geo_shapes, "closed", False):
@@ -322,6 +422,45 @@ _SHACL_DT = {
     "sh:IRI": "uri",
     "http://www.w3.org/ns/shacl#IRI": "uri",
 }
+
+
+def _pred_name(x) -> str:
+    """Predicate IRI from a JSON-LD path element (plain string or
+    ``{"@id": ...}`` reference)."""
+    if isinstance(x, dict) and "@id" in x:
+        return str(x["@id"])
+    return str(x)
+
+
+def _parse_path(raw) -> dict:
+    """Parse a ``sh:path`` value into PropertyShape path fields.
+
+    Recognized forms (W3C SHACL §2.3.1, property paths):
+      - plain IRI string                              → simple path
+      - list / ``{"@list": [...]}``                   → sequence path
+      - ``{"sh:inversePath": iri}``                   → inverse path
+      - ``{"sh:alternativePath": (list)}``            → alternative path
+    Returns kwargs for PropertyShape: path (display label) plus at most
+    one of seq / inverse / alt_paths."""
+    if isinstance(raw, dict) and "@list" in raw:
+        raw = raw["@list"]
+    if isinstance(raw, list):
+        steps = tuple(_pred_name(x) for x in raw)
+        if len(steps) == 1:  # single-element sequence ≡ simple path
+            return {"path": steps[0]}
+        return {"path": "/".join(steps), "seq": steps}
+    if isinstance(raw, dict):
+        if "sh:inversePath" in raw:
+            pred = _pred_name(raw["sh:inversePath"])
+            return {"path": f"^{pred}", "inverse": pred}
+        if "sh:alternativePath" in raw:
+            ap = raw["sh:alternativePath"]
+            if isinstance(ap, dict) and "@list" in ap:
+                ap = ap["@list"]
+            alts = tuple(_pred_name(x) for x in (ap if isinstance(ap, list) else [ap]))
+            return {"path": "|".join(alts), "alt_paths": alts}
+        return {"path": _pred_name(raw)}  # {"@id": iri} — simple path
+    return {"path": str(raw)}
 
 
 def _shacl_prop_to_shape(p: dict) -> PropertyShape:
@@ -370,7 +509,7 @@ def _shacl_prop_to_shape(p: dict) -> PropertyShape:
         severity = "Info"
     mn = int(p.get("sh:minCount", 0) or 0)
     return PropertyShape(
-        path=str(p.get("sh:path", "")),
+        **_parse_path(p.get("sh:path", "")),
         required=mn >= 1,
         datatype=dt,
         pattern=p.get("sh:pattern"),

@@ -1239,3 +1239,159 @@ def test_semi_join_auto_partitioned_matches_broadcast():
         b = bcast[cols].sort_values(cols).reset_index(drop=True)
         p = part[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(b, p), anti
+
+
+def test_shacl_property_paths():
+    """Round-5 SHACL property paths (W3C SHACL §2.3.1): sequence paths
+    (follow steps, resolving @id refs through @graph), inverse paths
+    (value nodes = subjects pointing AT the focus), alternative paths
+    (union of predicates) — ingested from a shapes graph; sh:closed only
+    counts plain-IRI paths."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:PathShape",
+                "@type": "sh:NodeShape",
+                "sh:targetClass": "hyf:HY_HydroLocation",
+                "sh:property": [
+                    {"sh:path": "@id", "sh:minCount": 1, "sh:nodeKind": "sh:IRI"},
+                    # sequence path: provider -> name must exist and be a string
+                    {"sh:path": {"@list": ["schema:provider", "schema:name"]},
+                     "sh:minCount": 1, "sh:datatype": "xsd:string"},
+                    # alternative path: a label under either predicate
+                    {"sh:path": {"sh:alternativePath": {"@list": [
+                        "schema:name", "rdfs:label"]}},
+                     "sh:minCount": 1},
+                ],
+            }
+        ]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+    seq_shape = next(s for s in shapes if s.seq)
+    alt_shape = next(s for s in shapes if s.alt_paths)
+    assert seq_shape.path == "schema:provider/schema:name"
+    assert alt_shape.path == "schema:name|rdfs:label"
+
+    # inline nested node satisfies the sequence path
+    good = json.dumps({
+        "@id": "https://p/1",
+        "rdfs:label": "Gauge",
+        "schema:provider": {"schema:name": "USGS"},
+    })
+    assert validate_doc(good, shapes, geo) == []
+
+    # sequence hop across @graph via an {"@id": ...} reference (the org
+    # node carries its own inline provider: shapes apply to EVERY graph
+    # node — the validator deliberately has no targetClass filtering)
+    ref = json.dumps({
+        "@graph": [
+            {"@id": "https://p/1",
+             "schema:name": "Gauge",
+             "schema:provider": {"@id": "https://org/usgs"}},
+            {"@id": "https://org/usgs", "schema:name": "USGS",
+             "schema:provider": {"schema:name": "USGS Org"}},
+        ]
+    })
+    assert validate_doc(ref, shapes, geo) == []
+    # broken @id reference (dangling) -> the hop resolves to nothing
+    dangling = json.dumps({
+        "@id": "https://p/1",
+        "rdfs:label": "Gauge",
+        "schema:provider": {"@id": "https://org/unknown"},
+    })
+    assert "missing:schema:provider/schema:name" in validate_doc(
+        dangling, shapes, geo
+    )
+
+    # broken hop: provider node has no name -> sequence path missing;
+    # datatype violation when the terminal value is non-string
+    missing = json.dumps({
+        "@id": "https://p/1",
+        "rdfs:label": "Gauge",
+        "schema:provider": {"schema:url": "https://org"},
+    })
+    v = validate_doc(missing, shapes, geo)
+    assert "missing:schema:provider/schema:name" in v
+    bad_dt = json.dumps({
+        "@id": "https://p/1",
+        "rdfs:label": "Gauge",
+        "schema:provider": {"schema:name": 7},
+    })
+    assert "datatype:schema:provider/schema:name:string" in validate_doc(
+        bad_dt, shapes, geo
+    )
+
+    # alternative path: either predicate satisfies; neither -> missing
+    only_label = json.dumps({
+        "@id": "https://p/1",
+        "rdfs:label": "Gauge",
+        "schema:provider": {"schema:name": "USGS"},
+    })
+    assert validate_doc(only_label, shapes, geo) == []
+    neither = json.dumps({
+        "@id": "https://p/1",
+        "schema:provider": {"schema:name": "USGS"},
+    })
+    assert "missing:schema:name|rdfs:label" in validate_doc(neither, shapes, geo)
+
+
+def test_shacl_inverse_path_and_closed_interaction():
+    """Inverse paths resolve subjects pointing AT the focus node through
+    @graph; path-expression shapes never widen a closed shape's allowed
+    property set (SHACL: sh:closed counts only plain-IRI paths)."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:MonitoredShape",
+                "@type": "sh:NodeShape",
+                "sh:targetClass": "hyf:HY_HydroLocation",
+                "sh:closed": True,
+                "sh:ignoredProperties": [
+                    {"@id": "schema:name"},
+                    {"@id": "schema:about"},
+                ],
+                "sh:property": [
+                    {"sh:path": "@id", "sh:minCount": 1, "sh:nodeKind": "sh:IRI"},
+                    # every node must be referenced by some monitoring org
+                    {"sh:path": {"sh:inversePath": "schema:about"},
+                     "sh:minCount": 1},
+                ],
+            }
+        ]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+    inv = next(s for s in shapes if s.inverse)
+    assert inv.path == "^schema:about" and inv.inverse == "schema:about"
+
+    # the dataset node references the feature via schema:about -> the
+    # feature's inverse path resolves to [dataset node]
+    good = json.dumps({
+        "@graph": [
+            {"@id": "https://p/1", "schema:name": "Gauge"},
+            {"@id": "https://ds/1", "schema:about": {"@id": "https://p/1"}},
+        ]
+    })
+    v = validate_doc(good, shapes, geo)
+    # the dataset node itself has no inbound schema:about edge, so it
+    # reports the inverse-path minCount; the FEATURE node is clean, and
+    # crucially neither node reports a closed:^schema:about violation
+    assert v == ["missing:^schema:about"]
+    assert not any(x.startswith("closed:") for x in v)
+
+    # an undeclared property still trips sh:closed alongside path shapes
+    extra = json.dumps({
+        "@graph": [
+            {"@id": "https://p/1", "schema:color": "blue"},
+            {"@id": "https://ds/1", "schema:about": {"@id": "https://p/1"}},
+        ]
+    })
+    v2 = validate_doc(extra, shapes, geo)
+    assert "closed:schema:color" in v2
