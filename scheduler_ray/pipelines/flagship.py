@@ -310,7 +310,11 @@ def run_flagship(
         t0 = _time.time()
         raw = raw_triples(pages, registry, sources, cfg, cache)
         write_canonical_single_pass(
-            raw, out_dir, drop_sameas=cfg.drop_sameas, resume=cfg.file_resume
+            raw, out_dir, drop_sameas=cfg.drop_sameas, resume=cfg.file_resume,
+            # the same broadcast ceiling the two-pass canonical path uses:
+            # past it the writer's fixup runs as a distributed second pass
+            # instead of merging one plasma LUT (ROADMAP §2)
+            lut_max_pairs=cfg.canon_broadcast_max_pairs or None,
         )
         _phase_log("single_pass_write", t0)
         return read_graph(out_dir)

@@ -489,6 +489,71 @@ def compact_partitions(out_dir: str, *, target_mb: int = 128, fs=None) -> dict:
     return {"dirs": len(pdirs), "files_merged": int(sum(len(r) for _a, r in results))}
 
 
+def _distributed_fixup(
+    out_dir: str,
+    manifests,
+    pair_paths: list[str],
+    drop_sameas: bool,
+    fs,
+    resume: bool,
+):
+    """LUT-free fixup for alias sets too large for one plasma object
+    (ROADMAP §2's last writer gap): the same broadcast→joined escape
+    hatch flagship.canonical_triples has, applied to the single-pass
+    writer.
+
+    Pass 1's files (already locally canonical) are COMMITTED as an
+    interim state — a crash mid-rewrite leaves a readable graph — then
+    read back through the manifest-driven direct read, rewritten with
+    :func:`canonicalize_stage_joined` (distributed CC over the pair
+    sidecars + two hash-partitioned joins; the mapping never exists as
+    one object), and re-written by a second ``_write_block`` pass.
+    Honest cost: one extra full read+write pass — the price of the
+    regime where no node can hold the mapping; below the gate the
+    sidecar-flagged broadcast fixup touches only affected files.
+
+    Returns the pass-2 manifest DataFrame; the caller commits it and
+    deletes superseded pass-1 files."""
+    import ray.data as rd
+
+    from ..stages.canonicalize import canonicalize_stage_joined
+    from ..state.fs import FsspecFS
+    from .flagship import read_graph
+
+    write_commit_manifest(
+        fs,
+        out_dir,
+        manifests["file"].tolist(),
+        {"rows": int(manifests["rows"].sum()) if len(manifests) else 0,
+         "interim": True},
+    )
+    pa_fs = None
+    if isinstance(fs, FsspecFS):
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        pa_fs = PyFileSystem(FSSpecHandler(fs.fs))
+    edges = rd.read_parquet(pair_paths, filesystem=pa_fs)
+    # pass-1 already applied drop_sameas; the joined rewrite only maps
+    triples = read_graph(out_dir, fs)
+    fixed = canonicalize_stage_joined(triples, edges=edges, drop_sameas=False)
+
+    def stage2(tbl: pa.Table) -> pa.Table:
+        # re-canonicalizing canonical rows is a no-op (idempotent), so the
+        # second pass reuses the same fused write stage
+        return _write_block(tbl, out_dir, drop_sameas, fs, resume)
+
+    man_tables = [
+        t
+        for t in fixed.map_batches(
+            stage2, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    return (
+        pa.concat_tables(man_tables) if man_tables else MANIFEST_SCHEMA.empty_table()
+    ).to_pandas()
+
+
 def write_canonical_single_pass(
     triples: Dataset,
     out_dir: str,
@@ -496,6 +561,7 @@ def write_canonical_single_pass(
     drop_sameas: bool = True,
     fs=None,
     resume: bool = False,
+    lut_max_pairs: int | None = None,
 ) -> dict:
     """Stream linked raw triples into a canonical hive-partitioned graph
     in ONE pass (+ a fixup touching only files that cross-batch sameAs
@@ -504,7 +570,12 @@ def write_canonical_single_pass(
     the commit manifest, written LAST, is the only atomicity the
     protocol needs).  ``resume=True`` elides puts whose content-named
     target already exists (file-level resume after a crash before the
-    commit — see _write_block).  Returns a summary dict."""
+    commit — see _write_block).  ``lut_max_pairs`` gates the mapping
+    size ONE plasma object may hold: when the running compressed-pair
+    count crosses it mid-stream, the broadcast LUT merge is abandoned
+    and the fixup runs as a distributed second pass
+    (:func:`_distributed_fixup`) — no single object ever holds the
+    mapping (None/0 = no gate).  Returns a summary dict."""
     from .flagship import _phase_log
     import time as _time
 
@@ -524,6 +595,9 @@ def write_canonical_single_pass(
     man_tables: list[pa.Table] = []
     seen_stems: set[str] = set()
     pairs_dir = os.path.join(out_dir, PAIRS_DIR)
+    total_pairs = 0
+    pair_paths: list[str] = []
+    distributed = False
     for tbl in triples.map_batches(
         stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -535,7 +609,20 @@ def write_canonical_single_pass(
                 continue
             seen_stems.add(stem)
             if n_pairs:
-                merger.add(os.path.join(pairs_dir, f"pairs-{stem}.parquet"))
+                total_pairs += n_pairs
+                pair_paths.append(os.path.join(pairs_dir, f"pairs-{stem}.parquet"))
+                if distributed:
+                    continue
+                if lut_max_pairs and total_pairs > lut_max_pairs:
+                    # gate trips MID-STREAM: stop feeding the LUT merge
+                    # before its eager collapse can accumulate a large
+                    # object; already-launched leaf merges are bounded
+                    # (fanout pair files each) and simply get GC'd
+                    distributed = True
+                    merger.refs = []
+                    merger.pending = []
+                    continue
+                merger.add(pair_paths[-1])
     manifests = (
         pa.concat_tables(man_tables) if man_tables else MANIFEST_SCHEMA.empty_table()
     ).to_pandas()
@@ -543,7 +630,18 @@ def write_canonical_single_pass(
 
     fixed = 0
     replaced: list[str] = []
-    lut_ref = merger.finish()
+    if distributed:
+        old_files = set(manifests["file"].tolist())
+        manifests = _distributed_fixup(
+            out_dir, manifests, pair_paths, drop_sameas, fs, resume
+        )
+        new_files = set(manifests["file"].tolist())
+        replaced = sorted(old_files - new_files)
+        fixed = len(replaced)
+        t0 = _phase_log("  sp:distributed_fixup", t0)
+        lut_ref = None
+    else:
+        lut_ref = merger.finish()
     if lut_ref is not None:
         sidecars = [
             os.path.join(out_dir, SIDECAR_DIR, f"{s}.npy") for s in sorted(seen_stems)

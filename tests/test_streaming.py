@@ -487,3 +487,54 @@ def test_sharded_lut_conflicted_alias_key_escape(ray_session):
     # set's min-label canon — none may dangle at an intermediate alias
     merged_keys = set(merged["node"].to_pylist())
     assert all(g not in merged_keys for g in got), [g for g in got if g in merged_keys][:5]
+
+
+def test_distributed_fixup_matches_broadcast(tmp_out):
+    """lut_max_pairs gate (ROADMAP §2's last writer gap): forcing the
+    ceiling to 1 routes the fixup through the distributed second pass
+    (CC over pair sidecars + joined rewrite — no single LUT object); the
+    committed graph must equal the broadcast-fixup output exactly, and
+    superseded pass-1 files must be gone."""
+    import os
+
+    n = 40
+    blocks = {k: [] for k in range(8)}
+    for i in range(n):
+        pid = f"https://pids.geoconnex.dev/s/{i}"
+        alias = f"https://mirror.example/s/{i}"
+        prov = f"https://provider.example/s/{i}"
+        blocks[i % 8].append((alias, "owl:sameAs", prov, False, "s"))
+        blocks[(i + 3) % 8].append((prov, "owl:sameAs", pid, False, "s"))
+        blocks[(i + 5) % 8].append((alias, "schema:name", f"F {i}", True, "s"))
+        blocks[(i + 7) % 8].append(
+            (f"https://pids.geoconnex.dev/o/{i}", "schema:about", alias, False, "s")
+        )
+    tables = [_tbl(rows) for rows in blocks.values()]
+
+    bdir = tmp_out + "_broadcast"
+    shutil.rmtree(bdir, ignore_errors=True)
+    s_b = write_canonical_single_pass(rd.from_arrow(tables), bdir, drop_sameas=True)
+    assert s_b["fixed_files"] > 0  # the corpus genuinely needs the fixup
+    broadcast = flagship.read_graph(bdir).to_pandas()
+
+    s_d = write_canonical_single_pass(
+        rd.from_arrow(tables), tmp_out, drop_sameas=True, lut_max_pairs=1
+    )
+    assert s_d["fixed_files"] > 0
+    got = flagship.read_graph(tmp_out).to_pandas()
+
+    assert _tripleset(got) == _tripleset(broadcast)
+    assert len(got) == len(broadcast) == 2 * n
+    # commit hygiene: scratch dirs gone, manifest names only live files
+    assert not os.path.exists(os.path.join(tmp_out, "_pairs"))
+    assert not os.path.exists(os.path.join(tmp_out, "_sidecars"))
+    from scheduler_ray.state.fs import LocalFS, read_commit_manifest
+
+    man = read_commit_manifest(LocalFS(), tmp_out)
+    on_disk = {
+        os.path.join(d, f)
+        for d, _sub, fls in os.walk(tmp_out)
+        for f in fls
+        if f.endswith(".parquet")
+    }
+    assert {os.path.join(tmp_out, f) for f in man["files"]} == on_disk
