@@ -86,6 +86,11 @@ class PropertyShape:
     #: node list) — lets validate_parsed build the id map only when a
     #: shape actually needs it.
     _needs_graph: bool = field(default=False, repr=False)
+    #: set by compile(): any path expression present — one flag instead of
+    #: three attribute reads in the per-value hot path.  Defaults True so
+    #: an uncompiled path shape routes through the (correct) slow branch;
+    #: compile() turns it off for plain-IRI shapes.
+    _has_path: bool = field(default=True, repr=False)
 
     def compile(self) -> "PropertyShape":
         if self.pattern:
@@ -97,6 +102,7 @@ class PropertyShape:
             or self.max_value is not None
         )
         self._needs_graph = bool(self.seq or self.inverse)
+        self._has_path = bool(self.seq or self.inverse or self.alt_paths)
         for nested in (self.node, self.alternatives, self.exactly_one):
             for s in nested or ():
                 s.compile()
@@ -163,7 +169,9 @@ class PropertyShape:
         graph: "dict | None" = None,
     ) -> None:
         sink = out if self.severity == "Violation" else (warn if warn is not None else [])
-        if self.seq or self.inverse or self.alt_paths:
+        # _has_path defaults True pre-compile, so the re-check keeps an
+        # uncompiled simple shape on the plain-path branch
+        if self._has_path and (self.seq or self.inverse or self.alt_paths):
             vlist = self._path_values(node, graph)
             if not vlist:
                 if self.required or self.min_count >= 1:
@@ -256,19 +264,23 @@ class ShapeSet(tuple):
 
     closed: bool = False
     ignored: frozenset = frozenset()
+    #: precomputed "any shape resolves through the document graph" flag —
+    #: validate_parsed reads it instead of re-scanning shapes per document
+    needs_graph: bool = False
 
     @classmethod
     def make(cls, shapes, *, closed: bool = False, ignored=()) -> "ShapeSet":
         s = cls(shapes)
         s.closed = bool(closed)
         s.ignored = frozenset(ignored)
+        s.needs_graph = any(getattr(p, "_needs_graph", False) for p in s)
         return s
 
 
 #: the shape the synthetic Geoconnex-like feature documents must satisfy
 #: (mirrors the hyf:HY_HydroLocation payload asserted by the reference's
 #: golden tests, userCode/defs_test.py:104-130)
-HYDRO_LOCATION_SHAPE: tuple[PropertyShape, ...] = tuple(
+HYDRO_LOCATION_SHAPE: "ShapeSet" = ShapeSet.make(
     s.compile()
     for s in [
         PropertyShape("@id", required=True, datatype="uri"),
@@ -294,7 +306,7 @@ HYDRO_LOCATION_SHAPE: tuple[PropertyShape, ...] = tuple(
     ]
 )
 
-GEO_SHAPE: tuple[PropertyShape, ...] = tuple(
+GEO_SHAPE: "ShapeSet" = ShapeSet.make(
     s.compile()
     for s in [
         PropertyShape("schema:latitude", required=True, datatype="number",
@@ -374,7 +386,10 @@ def validate_parsed(
     # document-graph context for property-path shapes, built only when a
     # shape resolves through it (sequence @id hops / inverse scans)
     graph_ctx = None
-    if any(getattr(s, "_needs_graph", False) for s in shapes):
+    needs_graph = getattr(shapes, "needs_graph", None)
+    if needs_graph is None:  # plain tuple — scan once per document
+        needs_graph = any(getattr(s, "_needs_graph", False) for s in shapes)
+    if needs_graph:
         graph_ctx = {
             "nodes": node_list,
             "ids": {
