@@ -448,8 +448,11 @@ def build_or_load_index(
 def _subject_points(batch: pa.Table) -> dict[str, tuple[float, float]]:
     """subject → (x, y) from its geo blank node, resolved batch-locally
     (a document's rows are contiguous within one expansion batch — the
-    linker runs on whole blocks, see link_stage).  Coordinates are in
-    milli-units in the corpus; divided to match the registry bboxes."""
+    linker runs on whole blocks, see link_stage; for a RE-BLOCKED stream
+    where documents may straddle batches, use :func:`link_stage_grouped`,
+    which resolves points with a distributed join instead).  Coordinates
+    are in milli-units in the corpus; divided to match the registry
+    bboxes."""
     import pyarrow.compute as pc
 
     geo_mask = pc.is_in(batch["pred"], value_set=pa.array(GEO_PREDS, pa.large_string()))
@@ -644,3 +647,219 @@ def link_stage(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+#: sentinels for the grouped point merge: Arrow's hash max would skip
+#: nulls, but sentinels make the merge independent of null semantics
+_NO_PARENT = ""
+_NO_COORD = -np.inf
+
+POINT_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("blank", pa.large_string()),
+        ("parent", pa.large_string()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+    ]
+)
+
+
+def _point_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial rows for the grouped point resolution: one row
+    per geo EDGE (blank, parent, -inf, -inf) and one per COORD row
+    (blank, "", lat|-inf, lon|-inf).  Blank-node labels are globally
+    unique (``_:<root>#b<n>``, stages/expand.py), so the downstream
+    key merge is exact even when a document straddles batches."""
+    import pyarrow.compute as pc
+
+    geo_mask = pc.is_in(batch["pred"], value_set=pa.array(GEO_PREDS, pa.large_string()))
+    coord_mask = pc.is_in(
+        batch["pred"], value_set=pa.array(LAT_PREDS + LON_PREDS, pa.large_string())
+    )
+    parts: list[pa.Table] = []
+    if pc.any(geo_mask).as_py():
+        edges = batch.filter(geo_mask)
+        n = edges.num_rows
+        parts.append(
+            pa.table(
+                {
+                    "blank": pc.cast(edges["obj"], pa.large_string()),
+                    "parent": pc.cast(edges["subj"], pa.large_string()),
+                    "lat": pa.array(np.full(n, _NO_COORD), pa.float64()),
+                    "lon": pa.array(np.full(n, _NO_COORD), pa.float64()),
+                },
+                schema=POINT_PARTIAL_SCHEMA,
+            )
+        )
+    if pc.any(coord_mask).as_py():
+        coords = batch.filter(coord_mask)
+        vals = pd.to_numeric(
+            pd.Series(coords["obj"].to_numpy(zero_copy_only=False)), errors="coerce"
+        ).to_numpy(np.float64)
+        is_lat = pc.is_in(
+            coords["pred"], value_set=pa.array(LAT_PREDS, pa.large_string())
+        ).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vals)  # unparsable coordinate values drop out
+        n = coords.num_rows
+        parts.append(
+            pa.table(
+                {
+                    "blank": pc.cast(coords["subj"], pa.large_string()),
+                    "parent": pa.array([_NO_PARENT] * n, pa.large_string()),
+                    "lat": pa.array(
+                        np.where(is_lat & ok, vals, _NO_COORD), pa.float64()
+                    ),
+                    "lon": pa.array(
+                        np.where(~is_lat & ok, vals, _NO_COORD), pa.float64()
+                    ),
+                },
+                schema=POINT_PARTIAL_SCHEMA,
+            )
+        )
+    if not parts:
+        return POINT_PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def resolve_points_grouped(triples: Dataset) -> Dataset:
+    """Contiguity-FREE feature-point resolution (ROADMAP §4): the grouped
+    analogue of :func:`_subject_points`, for streams where a document's
+    rows may straddle blocks (e.g. re-blocked / re-read expansion
+    output).  One `sorted_agg_by` merge keyed on the globally-unique
+    blank label pairs each geo edge with its coordinate rows regardless
+    of which batch they landed in; only the pruned (blank, parent, lat,
+    lon) rows shuffle — the triple stream itself is never exchanged.
+
+    Returns a Dataset ``(subj, lat, lon)`` in registry units.  Duplicate
+    coordinates per blank resolve by max (batch-local mode resolves by
+    last-in-batch — an order the re-blocked stream no longer defines);
+    corpus documents carry one geo edge + one lat/lon per blank, where
+    the two agree exactly."""
+    from .canonicalize import sorted_agg_by
+
+    parts = triples.map_batches(
+        _point_partials_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = sorted_agg_by(
+        parts, "blank", {"parent": "max", "lat": "max", "lon": "max"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        has_parent = pc.not_equal(
+            t["parent"], pa.scalar(_NO_PARENT, pa.large_string())
+        ).to_numpy(zero_copy_only=False)
+        ok = has_parent & (lat > _NO_COORD) & (lon > _NO_COORD)
+        t = t.filter(pa.array(ok))
+        return pa.table(
+            {
+                "subj": t["parent"],
+                "lat": pa.array(lat[ok] / 1000.0, pa.float64()),
+                "lon": pa.array(lon[ok] / 1000.0, pa.float64()),
+            }
+        )
+
+    pts = merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    # a feature with several geo blanks collapses to one point per subj
+    return sorted_agg_by(pts, "subj", {"lat": "max", "lon": "max"})
+
+
+def link_stage_grouped(
+    triples: Dataset,
+    registry: pd.DataFrame,
+    sources: pd.DataFrame,
+    *,
+    num_partitions: int | None = None,
+    index_cache_path: str | None = None,
+) -> Dataset:
+    """Contiguity-free :func:`link_stage`: identical link semantics for a
+    stream where documents may STRADDLE blocks (the batch-local geo
+    resolution's one assumption — ROADMAP §4).
+
+    Shape: the name rows (≈1/document) and resolved points (≈1/document)
+    are pruned out of the stream and hash-joined on the feature subject;
+    the joined rows probe the broadcast registry index and emit ONLY the
+    extra link triples, unioned back onto the untouched stream.  Cost vs
+    the fused batch-local path: one shuffle of the pruned name/point
+    rows — never of the triple stream — so this stays viable at 100 TB
+    when an upstream re-block breaks contiguity."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import _drop_empty_blocks
+
+    if isinstance(registry, ray.ObjectRef):
+        registry_ref = registry
+    else:
+        registry_ref = ray.put(build_or_load_index(registry, index_cache_path))
+    enabled = dict(zip(sources["source_id"], sources["add_associated_mainstems"]))
+    enabled_graphs = pa.array(
+        sorted(g for g, on in enabled.items() if on), pa.large_string()
+    )
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["pred"], value_set=pa.array(NAME_PREDS, pa.large_string())),
+            pc.is_in(t["graph"], value_set=enabled_graphs),
+        )
+        sub = t.filter(m)
+        return pa.table(
+            {
+                "subj": pc.cast(sub["subj"], pa.large_string()),
+                "name": pc.cast(sub["obj"], pa.large_string()),
+                "graph": pc.cast(sub["graph"], pa.large_string()),
+            }
+        )
+
+    names = _drop_empty_blocks(
+        triples.map_batches(name_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    pts = _drop_empty_blocks(resolve_points_grouped(triples))
+    if num_partitions:
+        n_parts = num_partitions
+    else:
+        n_parts = min(
+            max(2, names.num_blocks()),
+            max(2, int(ray.cluster_resources().get("CPU", 8))),
+        )
+    joined = _drop_empty_blocks(names.join(pts, "left_outer", n_parts, on=("subj",)))
+
+    def probe(t: pa.Table) -> pa.Table:
+        idx = _cached_get(registry_ref)
+        names_s = pd.Series(t["name"].to_numpy(zero_copy_only=False))
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        valid = pc.and_(t["lat"].is_valid(), t["lon"].is_valid()).to_numpy(
+            zero_copy_only=False
+        )
+        points = [
+            (la, lo) if v else None for la, lo, v in zip(lat, lon, valid)
+        ]
+        matched, _pids, mainstems = idx.link_spatial_batch(names_s, points)
+        ms = pa.array(mainstems, pa.large_string())
+        keep = pc.and_(pa.array(matched), ms.is_valid())
+        if not pc.any(keep).as_py():
+            return TRIPLE_SCHEMA.empty_table()
+        sel = t.filter(keep)
+        n = sel.num_rows
+        return pa.Table.from_arrays(
+            [
+                sel["subj"].combine_chunks(),
+                pa.array([LINEAR_ELEMENT] * n, pa.large_string()),
+                ms.filter(keep),
+                pa.array(np.zeros(n, bool)),
+                sel["graph"].combine_chunks(),
+            ],
+            schema=TRIPLE_SCHEMA,
+        )
+
+    extra = joined.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cast_schema(t: pa.Table) -> pa.Table:
+        return t.cast(TRIPLE_SCHEMA)
+
+    return triples.map_batches(
+        cast_schema, batch_format="pyarrow", zero_copy_batch=True
+    ).union(extra)

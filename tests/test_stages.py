@@ -426,3 +426,44 @@ def test_extract_exotic_casing_extra_block():
     )
     assert out["extracted"].to_pylist() == ["A", "C", "D"]
     assert out["extracted_extra"].to_pylist() == ['["B"]', None, None]
+
+
+def test_link_stage_grouped_matches_local_on_straddled_stream(fixture_sf0001):
+    """ROADMAP §4: the batch-local geo resolution assumes a document's
+    rows are contiguous within one batch.  link_stage_grouped drops that
+    assumption (distributed blank-label merge + subject join).  Oracle:
+    the fused local path over CONTIGUOUS blocks; the grouped path must
+    reproduce its exact triple multiset over a deliberately re-blocked
+    stream whose tiny blocks cut documents mid-stride."""
+    import ray.data as rd
+
+    from scheduler_ray.pipelines import flagship
+    from scheduler_ray.stages.expand import expand_stage
+    from scheduler_ray.stages.extract import extract_stage
+    from scheduler_ray.stages.link import link_stage, link_stage_grouped
+
+    registry, sources = flagship.load_side_tables(fixture_sf0001)
+    pages = flagship.read_pages(fixture_sf0001)
+    expanded = expand_stage(extract_stage(pages)).materialize()
+
+    def _set(ds):
+        df = ds.to_pandas()
+        return set(
+            zip(df["subj"], df["pred"], df["obj"], df["obj_is_literal"], df["graph"])
+        )
+
+    oracle = _set(link_stage(expanded, registry, sources))
+    assert any(p == "hyf:linearElement" for _, p, _, _, _ in oracle)
+
+    # re-block into 7-row tables: geo edges and their coordinate rows land
+    # in different blocks for most documents
+    whole = pa.concat_tables(
+        expanded.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    shards = [whole.slice(i, 7) for i in range(0, whole.num_rows, 7)]
+    straddled = rd.from_arrow(shards)
+
+    # the local path on the straddled stream loses geo points (silent
+    # degradation this test documents); the grouped path must not
+    got = _set(link_stage_grouped(straddled, registry, sources))
+    assert got == oracle
