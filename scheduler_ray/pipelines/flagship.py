@@ -184,7 +184,9 @@ def read_graph(out_dir: str, fs=None) -> Dataset:
         pa_fs = PyFileSystem(FSSpecHandler(fs.fs))
     man = read_commit_manifest(fs, out_dir)
     if man is not None:
-        paths = [os.path.join(out_dir, f) for f in man["files"]]
+        # two blocks with identical content share a stem → the manifest
+        # can name one physical file twice; read each file once
+        paths = list(dict.fromkeys(os.path.join(out_dir, f) for f in man["files"]))
         if not paths:
             return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
         # Manifest-driven DIRECT read: the commit manifest already names
