@@ -159,6 +159,15 @@ class PropertyShape:
             frontier = nxt
             if not frontier:
                 break
+        if ids:
+            # resolve TERMINAL pure {"@id"} references too, so value
+            # constraints (sh:class / sh:node) see the referenced node
+            frontier = [
+                ids.get(f["@id"], f)
+                if isinstance(f, dict) and "@id" in f and len(f) == 1
+                else f
+                for f in frontier
+            ]
         return frontier
 
     def check(

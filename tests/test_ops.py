@@ -1395,3 +1395,54 @@ def test_shacl_inverse_path_and_closed_interaction():
     })
     v2 = validate_doc(extra, shapes, geo)
     assert "closed:schema:color" in v2
+
+
+def test_shacl_sequence_path_resolves_terminal_reference():
+    """A sequence path whose TERMINAL value is a pure {"@id"} reference
+    resolves it through @graph so value constraints (sh:class) apply to
+    the referenced node, not the reference dict."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:OrgShape",
+                "@type": "sh:NodeShape",
+                "sh:property": [
+                    # feature -> provider must resolve to an Organization
+                    {"sh:path": {"@list": ["schema:provider"]},
+                     "sh:class": "schema:Organization"},
+                ],
+            }
+        ]
+    }
+    # single-element sequence parses back to a simple path; force a real
+    # two-step sequence instead
+    shapes_graph["@graph"][0]["sh:property"][0]["sh:path"] = {
+        "@list": ["schema:isPartOf", "schema:provider"]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+
+    good = json.dumps({
+        "@graph": [
+            {"@id": "https://p/1",
+             "schema:isPartOf": {"@id": "https://ds/1"}},
+            {"@id": "https://ds/1",
+             "schema:provider": {"@id": "https://org/usgs"}},
+            {"@id": "https://org/usgs", "@type": "schema:Organization"},
+        ]
+    })
+    assert validate_doc(good, shapes, geo) == []
+    bad = json.dumps({
+        "@graph": [
+            {"@id": "https://p/1",
+             "schema:isPartOf": {"@id": "https://ds/1"}},
+            {"@id": "https://ds/1",
+             "schema:provider": {"@id": "https://org/usgs"}},
+            {"@id": "https://org/usgs", "@type": "schema:Dataset"},
+        ]
+    })
+    v = validate_doc(bad, shapes, geo)
+    assert any(x.startswith("class:schema:isPartOf/schema:provider") for x in v)
