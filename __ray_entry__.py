@@ -126,6 +126,37 @@ def _q_kg_entity_link(sf_dir: str):
     return links.rename_columns({"obj": "mainstem_uri"})
 
 
+def _q_kg_entity_link_grouped(sf_dir: str):
+    """kg_entity_link over a deliberately SCATTERED expansion stream
+    (global sort by obj — no document's rows share a batch), linked via
+    the contiguity-free link_stage_grouped (ROADMAP §4: blank-label
+    merge + pruned name/point join) — same SQL oracle as
+    kg_entity_link, mirroring feature_table_grouped's pattern."""
+    from scheduler_ray.stages.canonicalize import (
+        canonicalize_stage,
+        collect_sameas_edges,
+        lut_ref_from_edges,
+    )
+    from scheduler_ray.stages.expand import expand_stage
+    from scheduler_ray.stages.link import INDEX_CACHE_NAME, link_stage_grouped
+
+    fx = _fixture(sf_dir)
+    registry, sources = flagship.load_side_tables(fx)
+    pages = flagship.read_pages(fx)
+    tri = expand_stage(extract_stage(pages), validate=True).materialize().sort("obj")
+    linked = link_stage_grouped(
+        tri, registry, sources, index_cache_path=f"{fx}/{INDEX_CACHE_NAME}"
+    ).materialize()
+    canon = canonicalize_stage(
+        linked, lut_ref_from_edges(collect_sameas_edges(linked)), local_dedup=True
+    )
+    links = canon.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], LINEAR_ELEMENT)).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    )
+    return links.rename_columns({"obj": "mainstem_uri"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from scheduler_ray.pipelines import queries as q
 
@@ -140,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cleanup_antijoin": _q_kg_cleanup,
         "kg_merge_dedup": _q_kg_merge_dedup,
         "kg_entity_link": _q_kg_entity_link,
+        "kg_entity_link_grouped": _q_kg_entity_link_grouped,
         "kg_validate": q.q_kg_validate,
         # relational / windows
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -196,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cleanup_antijoin": oracles.CLEANUP_SQL,
         "kg_merge_dedup": oracles.MERGE_DEDUP_SQL,
         "kg_entity_link": oracles.ENTITY_LINK_SQL,
+        "kg_entity_link_grouped": oracles.ENTITY_LINK_SQL,
         "kg_validate": q.sql_kg_validate(),
         "lineitem_pricing": q.SQL_LINEITEM_PRICING,
         "segment_revenue": q.SQL_SEGMENT_REVENUE,
