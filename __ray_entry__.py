@@ -87,6 +87,25 @@ def _q_kg_canonical_joined(sf_dir: str):
     return ds.select_columns(["subj", "pred", "obj", "obj_is_literal", "graph"])
 
 
+def _q_kg_canonical_writer_gated(sf_dir: str):
+    """Canonical graph via the single-pass WRITER's distributed-fixup
+    path (lut_max_pairs gate forced to 1 through
+    canon_broadcast_max_pairs): the mapping never exists as one plasma
+    object — interim commit → CC over pair sidecars → joined rewrite →
+    second write pass (ROADMAP §2, round 5).  Same oracle as
+    kg_canonical_triples."""
+    import os
+    import shutil
+
+    from scheduler_ray.config import PipelineConfig
+
+    fx = _fixture(sf_dir)
+    out = os.path.join(fx, "canonical_graph_gated")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = PipelineConfig(canon_broadcast_max_pairs=1)
+    return flagship.run_flagship(fx, out_dir=out, cfg=cfg)
+
+
 def _q_kg_pred_counts(sf_dir: str):
     ds = _q_kg_canonical(sf_dir)
     return ds.groupby("pred").aggregate(Count(alias_name="n"))
@@ -167,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_canonical_triples": _q_kg_canonical,
         "kg_canonical_joined": _q_kg_canonical_joined,
+        "kg_canonical_writer_gated": _q_kg_canonical_writer_gated,
         "kg_pred_counts": _q_kg_pred_counts,
         "kg_cleanup_antijoin": _q_kg_cleanup,
         "kg_merge_dedup": _q_kg_merge_dedup,
@@ -224,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_raw": oracles.RAW_TRIPLES_SQL,
         "kg_canonical_triples": oracles.CANONICAL_TRIPLES_SQL,
         "kg_canonical_joined": oracles.CANONICAL_TRIPLES_SQL,
+        "kg_canonical_writer_gated": oracles.CANONICAL_TRIPLES_SQL,
         "kg_pred_counts": oracles.PRED_COUNTS_SQL,
         "kg_cleanup_antijoin": oracles.CLEANUP_SQL,
         "kg_merge_dedup": oracles.MERGE_DEDUP_SQL,
