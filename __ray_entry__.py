@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q.q_segment_revenue,
         "nation_region": q.q_nation_region,
         "top_orders": q.q_top_orders,
+        "top_docs_per_source": q.q_top_docs_per_source,
         "filter_revenue": q.q_filter_revenue,
         "event_windows": q.q_event_windows,
         "sessions": q.q_sessions,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": q.SQL_SEGMENT_REVENUE,
         "nation_region": q.SQL_NATION_REGION,
         "top_orders": q.SQL_TOP_ORDERS,
+        "top_docs_per_source": q.SQL_TOP_DOCS_PER_SOURCE,
         "filter_revenue": q.SQL_FILTER_REVENUE,
         "event_windows": q.SQL_EVENT_WINDOWS,
         "sessions": q.SQL_SESSIONS,

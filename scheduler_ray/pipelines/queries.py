@@ -125,6 +125,20 @@ SQL_TOP_ORDERS = (
 )
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """PER-GROUP top-k (curation staple: keep the k longest documents per
+    source) via the partial-combiner + sorted-segment finish —
+    `relational.topk_per_group`; doc_id tiebreak for determinism."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return rel.topk_per_group(ds, "source", "n_chars", 5, tiebreak="doc_id")
+
+
+SQL_TOP_DOCS_PER_SOURCE = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
+"""
+
+
 def q_filter_revenue(sf_dir: str):
     """Vectorized filter + computed projection (M9/F-series pattern)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -372,3 +372,45 @@ def top_k(ds: Dataset, by: str, k: int, *, descending: bool = True) -> Dataset:
         return batch.nlargest(k, by) if descending else batch.nsmallest(k, by)
 
     return ds.map_batches(partial, batch_format="pandas").sort(by, descending=descending).limit(k)
+
+
+def topk_per_group(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> Dataset:
+    """PER-GROUP top-k (``row_number() OVER (PARTITION BY key ORDER BY
+    order_col) <= k`` semantics) — the training-data curation staple
+    "keep the k best documents per source/label/domain".
+
+    Scale shape: a per-block partial top-k combiner bounds every block's
+    contribution to ``groups_in_block × k`` rows, so only those partials
+    shuffle; the exact finish runs as ``sorted_map_groups`` over the
+    partials (each surviving group holds ≤ k × #blocks rows — bounded,
+    never the group's full corpus slice).  The input stream is never
+    globally sorted and no group's raw rows ever co-locate.
+
+    ``tiebreak`` (ascending) makes the selection deterministic when
+    ``order_col`` has duplicates — without it, which of the tied rows
+    survives is block-layout-dependent (same caveat as SQL's ROW_NUMBER
+    without a unique ORDER BY suffix).
+    """
+    from .canonicalize import sorted_map_groups
+
+    by = [order_col] + ([tiebreak] if tiebreak else [])
+    ascending = [not descending] + ([True] if tiebreak else [])
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        # mergesort = stable, so equal keys keep a deterministic order
+        return (
+            df.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+
+    parts = ds.map_batches(_topk, batch_format="pandas", batch_size=None)
+    return sorted_map_groups(parts, [key], _topk)

@@ -1446,3 +1446,49 @@ def test_shacl_sequence_path_resolves_terminal_reference():
     })
     v = validate_doc(bad, shapes, geo)
     assert any(x.startswith("class:schema:isPartOf/schema:provider") for x in v)
+
+
+def test_topk_per_group_matches_window_semantics():
+    """topk_per_group == row_number() OVER (PARTITION BY key ORDER BY
+    val DESC, tiebreak) <= k, including groups that straddle many blocks
+    and duplicate order values (deterministic via tiebreak)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import topk_per_group
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "grp": rng.randint(0, 37, n).astype(str),
+            # heavy duplication: only 10 distinct values → ties everywhere
+            "val": rng.randint(0, 10, n),
+        }
+    )
+    # many small blocks so hot groups straddle nearly all of them
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        topk_per_group(ds, "grp", "val", 3, tiebreak="id")
+        .to_pandas()
+        .sort_values(["grp", "val", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["val", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("grp", sort=False)
+        .head(3)
+        .sort_values(["grp", "val", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "grp", "val"]], want[["id", "grp", "val"]])
+    # ascending variant
+    got_asc = topk_per_group(ds, "grp", "val", 2, descending=False, tiebreak="id").to_pandas()
+    want_asc = (
+        df.sort_values(["val", "id"], kind="mergesort").groupby("grp", sort=False).head(2)
+    )
+    assert set(map(tuple, got_asc[["id", "grp", "val"]].to_numpy())) == set(
+        map(tuple, want_asc[["id", "grp", "val"]].to_numpy())
+    )
