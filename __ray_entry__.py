@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q.q_top_docs_per_source,
         "filter_revenue": q.q_filter_revenue,
         "event_windows": q.q_event_windows,
+        "event_windows_hopping": q.q_event_windows_hopping,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_source": q.SQL_TOP_DOCS_PER_SOURCE,
         "filter_revenue": q.SQL_FILTER_REVENUE,
         "event_windows": q.SQL_EVENT_WINDOWS,
+        "event_windows_hopping": q.SQL_EVENT_WINDOWS_HOPPING,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,

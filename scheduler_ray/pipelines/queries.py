@@ -175,6 +175,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_windows_hopping(sf_dir: str):
+    """HOPPING 1-hour windows every 15 min per user (each event lands in
+    4 overlapping windows) — relational.hopping_window_agg."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = rel.hopping_window_agg(ev, window_s=3600, hop_s=900).to_pandas()
+    return _round_cols(out, ["win_sum"])
+
+
+# an event at floored-second tf belongs to window starts
+# {(tf//900 - r) * 900 : r in 0..3} ∩ (tf - 3600, tf] — identical
+# arithmetic to the engine's bucket kernel
+SQL_EVENT_WINDOWS_HOPPING = """
+SELECT user_id,
+       (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900 - r.range) * 900 AS win_start,
+       ROUND(SUM(value), 2) AS win_sum, COUNT(*) AS win_n
+FROM events, range(0, 4) r
+WHERE (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900 - r.range) * 900
+      > CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 3600
+GROUP BY 1, 2
+"""
+
+
 def q_sessions(sf_dir: str):
     """Session windows (gap > 30 min) per user — sort-based distributed
     sessionization (stages/relational.py::sessionize); a session is

@@ -414,3 +414,48 @@ def topk_per_group(
 
     parts = ds.map_batches(_topk, batch_format="pandas", batch_size=None)
     return sorted_map_groups(parts, [key], _topk)
+
+
+def hopping_window_agg(
+    events: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+    hop_s: int = 900,
+) -> Dataset:
+    """HOPPING (sliding) event-time windows per key: window starts at
+    every multiple of ``hop_s``, each ``window_s`` long, so an event
+    belongs to ``ceil(window_s / hop_s)`` overlapping windows
+    (tumbling == hop_s = window_s).
+
+    Same scale shape as :func:`tumbling_window_agg`: the explode +
+    per-block partial aggregation bounds what shuffles to
+    (keys × windows) per block — the raw event stream fans out only
+    inside the map task, never across the exchange.  Bounded-batch
+    semantics (no watermarks), floored-second event time.
+    """
+    n_win = -(-window_s // hop_s)
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch[ts_col].astype("int64") // 1_000_000).to_numpy()
+        base = (epoch // hop_s) * hop_s  # latest window start containing t
+        starts = base[:, None] - np.arange(n_win)[None, :] * hop_s
+        valid = starts > (epoch[:, None] - window_s)
+        idx = np.repeat(np.arange(len(batch)), n_win)[valid.ravel()]
+        out = pd.DataFrame(
+            {
+                key: batch[key].to_numpy()[idx],
+                "win_start": starts.ravel()[valid.ravel()],
+                value_col: batch[value_col].to_numpy()[idx],
+            }
+        )
+        return out.groupby([key, "win_start"], as_index=False).agg(
+            win_sum=(value_col, "sum"), win_n=(value_col, "size")
+        )
+
+    partials = events.map_batches(bucket, batch_format="pandas")
+    return partials.groupby([key, "win_start"]).aggregate(
+        Sum("win_sum", alias_name="win_sum"), Sum("win_n", alias_name="win_n")
+    )

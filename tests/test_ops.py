@@ -1492,3 +1492,35 @@ def test_topk_per_group_matches_window_semantics():
     assert set(map(tuple, got_asc[["id", "grp", "val"]].to_numpy())) == set(
         map(tuple, want_asc[["id", "grp", "val"]].to_numpy())
     )
+
+
+def test_hopping_window_reduces_to_tumbling():
+    """hop == window makes hopping windows exactly tumbling windows
+    (win_start = window_index * window_s); and with hop = window/2 every
+    event lands in exactly 2 windows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import hopping_window_agg, tumbling_window_agg
+
+    rng = np.random.RandomState(3)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 20, n),
+            "ts": pd.to_datetime(rng.randint(0, 86400 * 3, n) * 1_000_000_000),
+            "value": rng.rand(n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    hop = hopping_window_agg(ds, window_s=3600, hop_s=3600).to_pandas()
+    tum = tumbling_window_agg(ds, window_s=3600).to_pandas()
+    tum["win_start"] = tum["window"] * 3600
+    m = hop.merge(tum, on=["user_id", "win_start"], suffixes=("", "_t"))
+    assert len(m) == len(hop) == len(tum)
+    assert np.allclose(m["win_sum"], m["win_sum_t"])
+    assert (m["win_n"] == m["win_n_t"]).all()
+
+    half = hopping_window_agg(ds, window_s=3600, hop_s=1800).to_pandas()
+    assert half["win_n"].sum() == 2 * n  # each event in exactly 2 windows
