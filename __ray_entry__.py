@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": q.q_distinct_segments,
         # dedup family
         "dedup_exact": q.q_dedup_exact,
+        "decontaminate": q.q_decontaminate,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_ngram": q.q_dedup_ngram,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_stats": q.SQL_BRAND_STATS,
         "distinct_segments": q.SQL_DISTINCT_SEGMENTS,
         "dedup_exact": q.SQL_DEDUP_EXACT,
+        "decontaminate": q.SQL_DECONTAMINATE,
         "dedup_minhash": q.SQL_DEDUP_MINHASH,
         "dedup_simhash": q.SQL_DEDUP_SIMHASH,
         "dedup_ngram": q.SQL_DEDUP_NGRAM,

@@ -125,6 +125,47 @@ SQL_TOP_ORDERS = (
 )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (LLM-curation staple: drop every doc
+    sharing ANY character 20-gram with the eval benchmark).  The
+    benchmark here is derived deterministically from the corpus
+    (doc_id % 50 == 0 — standing in for the small external eval set a
+    real pipeline broadcasts); those docs trivially self-match and
+    drop.  Engine: rolling UTF-32 hash probe + exact substring confirm
+    (textops.decontaminate_stage) — the corpus streams, only the gram
+    set ships."""
+    from ..stages.textops import decontaminate_stage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_texts = (
+        docs.map_batches(
+            lambda b: b[b["doc_id"] % 50 == 0], batch_format="pandas"
+        )
+        .to_pandas()["text"]  # benchmark-sized, not corpus-sized
+        .tolist()
+    )
+    clean = decontaminate_stage(docs, bench_texts, n=20)
+    return clean.select_columns(["doc_id"])
+
+
+# 20-char grams from every position of each benchmark doc; a document
+# survives iff no gram occurs in its text (position() is 1-based; bench
+# docs shorter than 20 chars contribute no grams via the range guard;
+# 20 chars ≈ 3-4 words — boilerplate-heavy webtext makes 13-char grams
+# degenerate: <2% of the corpus survived)
+SQL_DECONTAMINATE = """
+WITH grams AS (
+  SELECT DISTINCT substr(text, CAST(pos AS INT), 20) AS g
+  FROM (
+    SELECT text, unnest(range(1, GREATEST(length(text) - 18, 1))) AS pos
+    FROM documents WHERE doc_id % 50 = 0
+  )
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM grams WHERE position(grams.g IN d.text) > 0)
+"""
+
+
 def q_top_docs_per_source(sf_dir: str):
     """PER-GROUP top-k (curation staple: keep the k longest documents per
     source) via the partial-combiner + sorted-segment finish —

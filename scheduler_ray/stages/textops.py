@@ -229,3 +229,120 @@ def fingerprint_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
 
 def fingerprint_stage(docs: Dataset) -> Dataset:
     return docs.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination (the classic LLM-training-data operator:
+# drop every document that shares ANY character n-gram with an
+# evaluation benchmark, so eval answers cannot leak into training).
+# ------------------------------------------------------------------
+
+#: rolling-hash base for the n-gram kernel (FNV-1a prime, odd — full
+#: period under 2^64 wrap arithmetic)
+_DECON_BASE = np.uint64(1099511628211)
+
+
+def _char_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling 64-bit hashes of every CHARACTER n-gram across ``texts``.
+
+    Character-exact (UTF-32 code points — the same unit DuckDB's
+    length()/substr() count), fully vectorized: one flat code-point
+    array for the whole batch, n shifted multiply-add passes, windows
+    crossing document boundaries masked out.  Returns ``(hashes,
+    doc_index)`` aligned arrays (empty when no document reaches n
+    chars)."""
+    arrs = [
+        np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        if isinstance(t, str)
+        else np.array([], np.uint32)
+        for t in texts
+    ]
+    lens = np.array([len(a) for a in arrs], np.int64)
+    if not lens.sum():
+        return np.array([], np.uint64), np.array([], np.int64)
+    flat = np.concatenate([a for a in arrs if len(a)] or [np.array([], np.uint32)])
+    L = len(flat)
+    if L < n:
+        return np.array([], np.uint64), np.array([], np.int64)
+    m = L - n + 1
+    h = np.zeros(m, np.uint64)
+    for j in range(n):
+        h = h * _DECON_BASE + flat[j : m + j].astype(np.uint64)
+    docidx = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+    valid = docidx[:m] == docidx[n - 1 :]
+    return h[valid], docidx[:m][valid]
+
+
+def build_bench_grams(bench_texts, n: int = 13) -> dict:
+    """Broadcastable benchmark state: sorted unique n-gram hashes plus a
+    hash→gram-string map for the exact-confirm step (benchmark sets are
+    small — the grams, not the corpus, are what ships)."""
+    hashes, docidx = _char_ngram_hashes(list(bench_texts), n)
+    grams: dict[int, str] = {}
+    starts = np.zeros(len(docidx), np.int64)
+    # recover each gram's (doc, offset) to store its exact string
+    if len(docidx):
+        # offset within doc: position among this doc's windows
+        change = np.concatenate([[True], docidx[1:] != docidx[:-1]])
+        run_start = np.flatnonzero(change)
+        offs = np.arange(len(docidx)) - np.repeat(run_start, np.diff(np.concatenate([run_start, [len(docidx)]])))
+        texts = list(bench_texts)
+        for hsh, d, o in zip(hashes.tolist(), docidx.tolist(), offs.tolist()):
+            grams.setdefault(hsh, texts[d][o : o + n])
+    uniq = np.unique(hashes)
+    return {"hashes": uniq, "grams": grams, "n": n}
+
+
+class Decontaminator:
+    """map_batches stage: flag/drop documents sharing any character
+    n-gram with the broadcast benchmark.  Hash probe (searchsorted into
+    the sorted benchmark set) + EXACT substring confirm on the few hash
+    hits, so a 64-bit collision can never flag a clean document."""
+
+    def __init__(self, bench_ref, mode: str = "drop"):
+        import ray
+
+        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        self.hashes: np.ndarray = bench["hashes"]
+        self.grams: dict = bench["grams"]
+        self.n: int = bench["n"]
+        self.mode = mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].tolist()
+        h, docidx = _char_ngram_hashes(texts, self.n)
+        dirty = np.zeros(len(batch), bool)
+        if len(h) and len(self.hashes):
+            pos = np.searchsorted(self.hashes, h)
+            pos_c = np.clip(pos, 0, len(self.hashes) - 1)
+            hit = self.hashes[pos_c] == h
+            # exact confirm per candidate doc (hash collisions ~2^-64;
+            # the confirm keeps the operator exact, not probabilistic)
+            for d in np.unique(docidx[hit]).tolist():
+                doc_hits = h[hit][docidx[hit] == d]
+                if any(self.grams.get(int(x), "\x00") in texts[d] for x in doc_hits):
+                    dirty[d] = True
+        if self.mode == "flag":
+            out = batch.copy()
+            out["contaminated"] = dirty
+            return out
+        return batch[~dirty]
+
+
+def decontaminate_stage(
+    docs: Dataset, bench_texts, *, n: int = 13, mode: str = "drop",
+    concurrency=(1, 4),
+) -> Dataset:
+    """Drop (or flag) documents sharing any character n-gram with the
+    benchmark.  The benchmark gram set is built ONCE and broadcast
+    (``ray.put``); each actor loads it in ``__init__`` — the corpus
+    streams, the benchmark ships once per worker."""
+    import ray
+
+    bench_ref = ray.put(build_bench_grams(bench_texts, n))
+    return docs.map_batches(
+        Decontaminator,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "mode": mode},
+    )

@@ -1524,3 +1524,45 @@ def test_hopping_window_reduces_to_tumbling():
 
     half = hopping_window_agg(ds, window_s=3600, hop_s=1800).to_pandas()
     assert half["win_n"].sum() == 2 * n  # each event in exactly 2 windows
+
+
+def test_decontaminate_planted_grams():
+    """A doc sharing a 20-char run with the benchmark drops; clean docs
+    and sub-n docs survive; flag mode reports without dropping; the
+    exact-confirm step never flags on hash-probe candidates that don't
+    actually contain a benchmark gram."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.textops import (
+        Decontaminator,
+        build_bench_grams,
+        decontaminate_stage,
+    )
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    leak = "prefix text " + bench[0][5:25] + " suffix"  # 20-char overlap
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                leak,
+                "completely unrelated content with no overlap at all here",
+                "short",  # < n chars — can never contain a 20-gram
+                bench[0],  # the benchmark doc itself
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = decontaminate_stage(ds, bench, n=20).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3]
+    flagged = decontaminate_stage(ds, bench, n=20, mode="flag").to_pandas()
+    assert len(flagged) == 4
+    assert set(flagged[flagged["contaminated"]]["doc_id"]) == {1, 4}
+    # direct kernel: unicode text is counted in CODE POINTS (the SQL
+    # length()/substr() unit), so a multibyte text behaves identically
+    uni = "héllo wörld ünïcode textüül padding here" * 2
+    b2 = build_bench_grams([uni], n=20)
+    d = Decontaminator(b2, mode="flag")
+    got = d(pd.DataFrame({"doc_id": [9], "text": ["xx " + uni[3:23] + " yy"]}))
+    assert bool(got["contaminated"].iloc[0])
