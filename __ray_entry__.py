@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region": q.q_nation_region,
         "top_orders": q.q_top_orders,
         "top_docs_per_source": q.q_top_docs_per_source,
+        "median_chars_per_source": q.q_median_chars_per_source,
+        "vocab_top_df": q.q_vocab_top_df,
         "filter_revenue": q.q_filter_revenue,
         "event_windows": q.q_event_windows,
         "event_windows_hopping": q.q_event_windows_hopping,
@@ -259,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_region": q.SQL_NATION_REGION,
         "top_orders": q.SQL_TOP_ORDERS,
         "top_docs_per_source": q.SQL_TOP_DOCS_PER_SOURCE,
+        "median_chars_per_source": q.SQL_MEDIAN_CHARS_PER_SOURCE,
+        "vocab_top_df": q.SQL_VOCAB_TOP_DF,
         "filter_revenue": q.SQL_FILTER_REVENUE,
         "event_windows": q.SQL_EVENT_WINDOWS,
         "event_windows_hopping": q.SQL_EVENT_WINDOWS_HOPPING,

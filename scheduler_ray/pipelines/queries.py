@@ -180,6 +180,50 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <=
 """
 
 
+def q_median_chars_per_source(sf_dir: str):
+    """Exact per-source median document length via HISTOGRAM partials
+    (relational.quantile_per_group): only (source, n_chars) counts
+    shuffle, never the rows — distribution stats at corpus scale."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return rel.quantile_per_group(ds, "source", "n_chars", 0.5, out_col="median_chars")
+
+
+SQL_MEDIAN_CHARS_PER_SOURCE = """
+SELECT source, ROUND(median(n_chars), 6) AS median_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_vocab_top_df(sf_dir: str):
+    """Vocabulary document-frequency top-20 (tokenize → per-doc distinct
+    → df count → deterministic top-k).  Scale shape: a document's rows
+    live in one block, so per-BLOCK per-doc token dedup is globally
+    exact; only (token, partial_df) rows shuffle, and the final sort
+    runs over the aggregated vocabulary, not the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index("doc_id")["text"].str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        df = s.reset_index().drop_duplicates()  # per-doc distinct tokens
+        out = df.groupby("text", as_index=False).size()
+        return out.rename(columns={"text": "t", "size": "df"})
+
+    counts = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("t")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return counts.sort(["df", "t"], descending=[True, False]).limit(20)
+
+
+SQL_VOCAB_TOP_DF = """
+SELECT t, COUNT(DISTINCT doc_id) AS df FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+) WHERE t <> '' GROUP BY t ORDER BY df DESC, t LIMIT 20
+"""
+
+
 def q_filter_revenue(sf_dir: str):
     """Vectorized filter + computed projection (M9/F-series pattern)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

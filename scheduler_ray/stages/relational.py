@@ -459,3 +459,54 @@ def hopping_window_agg(
     return partials.groupby([key, "win_start"]).aggregate(
         Sum("win_sum", alias_name="win_sum"), Sum("win_n", alias_name="win_n")
     )
+
+
+def quantile_per_group(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    q: float = 0.5,
+    *,
+    out_col: str | None = None,
+    nd: int = 6,
+) -> Dataset:
+    """EXACT per-group continuous quantile (``quantile_cont`` / numpy
+    'linear', the type-7 convention DuckDB and pandas share) — the
+    distribution-stats curation op ("median document length per
+    source").
+
+    Scale shape: per-block ``(key, value) → count`` partials, a groupby
+    over the HISTOGRAM (cardinality = keys × distinct values — bounded
+    for ints/rounded floats, never the row count), then the interpolated
+    quantile per key from cumulative counts.  The raw column never
+    shuffles; for unbounded-cardinality floats, quantize ``value_col``
+    first (the histogram is the contract).
+    """
+    out_col = out_col or f"q{int(q * 100)}"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([key, value_col], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    from .canonicalize import sorted_map_groups
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        c = g["cnt"].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        n = int(c.sum())
+        pos = q * (n - 1)
+        cum = np.cumsum(c)
+        lo = int(np.searchsorted(cum, np.floor(pos), side="right"))
+        hi = int(np.searchsorted(cum, np.ceil(pos), side="right"))
+        frac = pos - np.floor(pos)
+        val = v[lo] * (1.0 - frac) + v[hi] * frac
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [round(val, nd)]})
+
+    return sorted_map_groups(hist, [key], qtile)

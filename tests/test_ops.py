@@ -1566,3 +1566,31 @@ def test_decontaminate_planted_grams():
     d = Decontaminator(b2, mode="flag")
     got = d(pd.DataFrame({"doc_id": [9], "text": ["xx " + uni[3:23] + " yy"]}))
     assert bool(got["contaminated"].iloc[0])
+
+
+def test_quantile_per_group_matches_numpy():
+    """quantile_per_group == np.percentile(..., method='linear') per
+    group (the quantile_cont/type-7 convention), exact across blocks
+    because only the histogram shuffles."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import quantile_per_group
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {"g": rng.randint(0, 9, 3000).astype(str), "v": rng.randint(0, 40, 3000)}
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    for q in (0.5, 0.9):
+        got = (
+            quantile_per_group(ds, "g", "v", q, out_col="qq")
+            .to_pandas()
+            .set_index("g")["qq"]
+            .sort_index()
+        )
+        want = df.groupby("g")["v"].apply(
+            lambda s: round(float(np.percentile(s, q * 100, method="linear")), 6)
+        )
+        pd.testing.assert_series_equal(got, want.sort_index(), check_names=False)
