@@ -851,12 +851,14 @@ def canonicalize_stage_joined(
 def sorted_agg_by(
     ds: Dataset, key: "str | list[str]", aggs: "dict[str, str]"
 ) -> Dataset:
-    """Distributed per-key min/max of value columns WITHOUT Ray's
-    groupby aggregate.  ``aggs`` maps value column → "min" | "max";
-    an EMPTY ``aggs`` makes this a distributed DISTINCT over the key
-    column(s).  ``key`` may be a list for composite keys (string-typed
-    composite keys must not contain NUL bytes — the dup filter joins
-    them with \\x00).
+    """Distributed per-key min/max/sum of value columns WITHOUT Ray's
+    groupby aggregate.  ``aggs`` maps value column → "min" | "max" |
+    "sum" (any aggregate that is associative over per-block partials —
+    the border fixup below re-reduces partial rows, which is exact for
+    exactly that class); an EMPTY ``aggs`` makes this a distributed
+    DISTINCT over the key column(s).  ``key`` may be a list for
+    composite keys (string-typed composite keys must not contain NUL
+    bytes — the dup filter joins them with \\x00).
 
     Ray's ``groupby(...).min(...)`` reduce runs per-group PYTHON
     accumulators — measured ~165 s for 400k rows / 150k groups on 8

@@ -240,9 +240,16 @@ def tumbling_window_agg(
             win_sum=(value_col, "sum"), win_n=(value_col, "size")
         )
 
+    # sorted_agg_by, not Ray's groupby aggregate: window cardinality is
+    # keys × windows (hundreds of thousands at bench scale), the regime
+    # where per-group Python accumulators dominate (measured 68 s for
+    # 400k rows / 382k groups on the hopping variant; the sorted-agg
+    # path does the same merge in ~3 s)
+    from .canonicalize import sorted_agg_by
+
     partials = events.map_batches(bucket, batch_format="pandas")
-    return partials.groupby([key, "window"]).aggregate(
-        Sum("win_sum", alias_name="win_sum"), Sum("win_n", alias_name="win_n")
+    return sorted_agg_by(
+        partials, [key, "window"], {"win_sum": "sum", "win_n": "sum"}
     )
 
 
@@ -455,9 +462,11 @@ def hopping_window_agg(
             win_sum=(value_col, "sum"), win_n=(value_col, "size")
         )
 
+    from .canonicalize import sorted_agg_by
+
     partials = events.map_batches(bucket, batch_format="pandas")
-    return partials.groupby([key, "win_start"]).aggregate(
-        Sum("win_sum", alias_name="win_sum"), Sum("win_n", alias_name="win_n")
+    return sorted_agg_by(
+        partials, [key, "win_start"], {"win_sum": "sum", "win_n": "sum"}
     )
 
 
