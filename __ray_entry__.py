@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_revenue": q.q_filter_revenue,
         "event_windows": q.q_event_windows,
         "event_windows_hopping": q.q_event_windows_hopping,
+        "events_asof": q.q_events_asof,
+        "events_range_join": q.q_events_range_join,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -217,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_tokens": q.q_text_tokens,
         "text_quality": q.q_text_quality,
+        "text_repetition": q.q_text_repetition,
         "text_langid": q.q_text_langid,
         "text_fingerprint": q.q_text_fingerprint,
         # similarity / embeddings
@@ -266,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_revenue": q.SQL_FILTER_REVENUE,
         "event_windows": q.SQL_EVENT_WINDOWS,
         "event_windows_hopping": q.SQL_EVENT_WINDOWS_HOPPING,
+        "events_asof": q.SQL_EVENTS_ASOF,
+        "events_range_join": q.SQL_EVENTS_RANGE_JOIN,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,
@@ -277,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": q.SQL_DEDUP_NGRAM,
         "text_tokens": q.SQL_TEXT_TOKENS,
         "text_quality": q.SQL_TEXT_QUALITY,
+        "text_repetition": q.SQL_TEXT_REPETITION,
         "text_langid": q.sql_text_langid(),
         "text_fingerprint": q.SQL_TEXT_FINGERPRINT,
         "ann_topk": q.SQL_ANN_TOPK,

@@ -282,6 +282,96 @@ GROUP BY 1, 2
 """
 
 
+def q_events_asof(sf_dir: str):
+    """AS-OF join (time-series enrichment): every click event picks up
+    the user's most recent prior-or-equal purchase — the operator Ray
+    Data has no native form for (``relational.asof_join``: one keyed
+    range-sort, per-key vectorized searchsorted, no broadcast of either
+    side).  The purchase side is deduped to unique (user, ts) first
+    (max value) so the match is deterministic on both engines."""
+    from ..stages.canonicalize import sorted_agg_by
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def clicks(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["event_type"] == "click"][["event_id", "user_id", "ts"]]
+
+    def purchases(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["event_type"] == "purchase"][["user_id", "ts", "value"]]
+
+    left = ev.map_batches(clicks, batch_format="pandas")
+    right = sorted_agg_by(
+        ev.map_batches(purchases, batch_format="pandas"),
+        ["user_id", "ts"],
+        {"value": "max"},
+    )
+    out = rel.asof_join(left, right, key="user_id", ts_col="ts").to_pandas()
+    out["lag_us"] = out["ts"] - out["ts_r"]
+    out["ref_value"] = out["value"].round(6)
+    return out[["event_id", "user_id", "lag_us", "ref_value"]]
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us,
+       ROUND(r.v, 6) AS ref_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_range_join(sf_dir: str):
+    """Keyless RANGE (interval-containment) join: purchases falling
+    inside any 10-minute outage window opened by an error event —
+    ``relational.interval_join``'s bin-replication recipe (intervals
+    replicate to coarse bins, points map to exactly one bin, equi-join
+    on the bin, exact containment filter; the join routes through the
+    size-gated ``join_auto``)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "ts_us": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    def ivs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "error"]
+        su = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "outage_id": b["event_id"].to_numpy(),
+                "start_us": su,
+                "end_us": su + 600_000_000,
+            }
+        )
+
+    out = rel.interval_join(
+        ev.map_batches(pts, batch_format="pandas"),
+        ev.map_batches(ivs, batch_format="pandas"),
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bin_width=600_000_000,
+    ).to_pandas()
+    out["offset_us"] = out["ts_us"] - out["start_us"]
+    return out[["event_id", "outage_id", "offset_us"]]
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH p AS (SELECT event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+o AS (SELECT event_id AS outage_id, epoch_us(ts) AS start_us
+      FROM events WHERE event_type = 'error')
+SELECT p.event_id, o.outage_id, p.t - o.start_us AS offset_us
+FROM p JOIN o ON p.t >= o.start_us AND p.t < o.start_us + 600000000
+"""
+
+
 def q_sessions(sf_dir: str):
     """Session windows (gap > 30 min) per user — sort-based distributed
     sessionization (stages/relational.py::sessionize); a session is
@@ -510,6 +600,39 @@ SELECT doc_id,
        ROUND(LEN(regexp_extract_all(text, '\S')) /
              GREATEST(LEN(regexp_extract_all(text, '\S+')), 1)::DOUBLE, 6) AS mean_word_len
 FROM documents
+"""
+
+
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (top-word share + duplicate
+    word-2-gram fraction) — ``textops.repetition_batch``: one factorize +
+    composite-int64 ``np.unique`` per batch, no per-row Python, no
+    shuffle."""
+    return tx.repetition_stage(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, MAX(c) AS max_c, CAST(SUM(c) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+  GROUP BY 1
+),
+gc AS (
+  SELECT a.doc_id, COUNT(*) AS n_g,
+         COUNT(DISTINCT a.word || ' ' || b.word) AS d_g
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1
+)
+SELECT wc.doc_id, wc.n_words,
+       ROUND(wc.max_c * 1.0 / wc.n_words, 6) AS top_word_frac,
+       ROUND(CASE WHEN COALESCE(gc.n_g, 0) > 0
+                  THEN 1.0 - gc.d_g * 1.0 / gc.n_g ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM wc LEFT JOIN gc USING (doc_id)
 """
 
 

@@ -470,6 +470,249 @@ def hopping_window_agg(
     )
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    how: str = "inner",
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> Dataset:
+    """AS-OF join: for each left row, attach the single right row with
+    the same ``key`` and the latest right ``ts_col`` <= the left row's
+    (``direction="backward"``; ``"forward"`` takes the earliest >=).
+    Semantics match DuckDB's ``ASOF JOIN`` (the time-series staple Ray
+    Data has no native operator for).
+
+    Scale shape: neither side is broadcast or materialized — both
+    streams are tagged, union'd, and range-sorted ONCE on ``key``
+    (``sorted_map_groups``), then each key's merge is a vectorized
+    ``searchsorted`` over its sorted timestamps; groups that straddle
+    block boundaries fall back to exact whole-group processing.  Only
+    that one sort-shuffle moves data, the same cost as any keyed join.
+
+    Timestamp columns are normalized to int64 (epoch µs for datetimes)
+    in the output; the matched right timestamp comes back as
+    ``f"{ts_col}{suffix}"``.  With duplicate right timestamps for one
+    (key, ts) the surviving row is input-order-dependent — dedup the
+    right side first (e.g. ``sorted_agg_by`` max) for determinism, as
+    SQL's ASOF does implicitly by picking an arbitrary peer.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+
+    import pyarrow as pa
+
+    from .canonicalize import _drop_empty_blocks, sorted_map_groups
+
+    _ls, _rs = left.schema(), right.schema()
+    l_types = dict(zip(_ls.names, _ls.types))
+    r_types = dict(zip(_rs.names, _rs.types))
+    l_cols = list(_ls.names)
+    r_val_cols = [c for c in _rs.names if c not in (key, ts_col)]
+    # right columns colliding with left names get the suffix; the right
+    # timestamp always comes along (for lag computation) under suffix
+    r_out = {c: (c + suffix if c in l_cols else c) for c in r_val_cols}
+    r_ts_out = ts_col + suffix
+    out_cols = l_cols + [r_ts_out] + [r_out[c] for c in r_val_cols]
+
+    def _ts_i64(s: pd.Series) -> np.ndarray:
+        # explicit unit cast — pandas may hold datetime64[ns] OR [us]
+        # depending on how the block arrived; astype("int64") alone would
+        # silently yield different units
+        if np.issubdtype(s.dtype, np.datetime64):
+            return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+        return s.to_numpy(np.int64)
+
+    def _arrow_type(field_type):
+        return pa.int64() if pa.types.is_timestamp(field_type) else field_type
+
+    # unified Arrow schema so the two sides union cleanly (pandas would
+    # widen null int columns to float)
+    uni = pa.schema(
+        [pa.field(key, _arrow_type(l_types[key]))]
+        + [pa.field(ts_col, pa.int64())]
+        + [
+            pa.field(c, _arrow_type(l_types[c]))
+            for c in l_cols
+            if c not in (key, ts_col)
+        ]
+        + [pa.field(r_ts_out, pa.int64())]
+        + [pa.field(r_out[c], _arrow_type(r_types[c])) for c in r_val_cols]
+        + [pa.field("__side", pa.int8())]
+    )
+
+    def tag_left(b: pd.DataFrame) -> pa.Table:
+        cols = {}
+        for f in uni:
+            if f.name == "__side":
+                cols[f.name] = pa.array(np.ones(len(b), np.int8))
+            elif f.name == ts_col:
+                cols[f.name] = pa.array(_ts_i64(b[ts_col]))
+            elif f.name in b.columns:
+                cols[f.name] = pa.array(b[f.name], f.type)
+            else:
+                cols[f.name] = pa.nulls(len(b), f.type)
+        return pa.table(cols, schema=uni)
+
+    def tag_right(b: pd.DataFrame) -> pa.Table:
+        cols = {}
+        inv = {v: k for k, v in r_out.items()}
+        for f in uni:
+            if f.name == "__side":
+                cols[f.name] = pa.array(np.zeros(len(b), np.int8))
+            elif f.name == key:
+                cols[f.name] = pa.array(b[key], f.type)
+            elif f.name == r_ts_out:
+                cols[f.name] = pa.array(_ts_i64(b[ts_col]))
+            elif f.name in inv:
+                cols[f.name] = pa.array(b[inv[f.name]], f.type)
+            else:
+                cols[f.name] = pa.nulls(len(b), f.type)
+        return pa.table(cols, schema=uni)
+
+    tagged = _drop_empty_blocks(
+        left.map_batches(tag_left, batch_format="pandas")
+    ).union(_drop_empty_blocks(right.map_batches(tag_right, batch_format="pandas")))
+
+    back = direction == "backward"
+
+    r_cols_out = [r_ts_out] + [r_out[v] for v in r_val_cols]
+
+    def _restore_dtypes(out: pd.DataFrame) -> pd.DataFrame:
+        # the union carries nulls in the off-side columns, so pandas
+        # widens int64 → float64 for the whole group frame; cast back
+        # wherever the output is guaranteed non-null (left columns
+        # always; right columns under how="inner")
+        for c in out_cols:
+            t = uni.field(c).type
+            if pa.types.is_integer(t) and (how == "inner" or c not in r_cols_out):
+                out[c] = out[c].astype(t.to_pandas_dtype())
+        return out
+
+    def _nullable(s: pd.Series) -> pd.Series:
+        # how="left" emits right columns in a dtype that can hold a miss
+        # CONSISTENTLY across groups (an int64 column must not be int in
+        # all-matched groups and float in others — the block schemas
+        # would diverge)
+        return s.astype("float64") if s.dtype.kind in "iu" else s
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["__side"].to_numpy() == 1
+        l = g[is_l]
+        r = g[~is_l]
+        out = l.drop(columns=["__side"]).reset_index(drop=True)
+        if not len(l):
+            return _restore_dtypes(out.reindex(columns=out_cols).iloc[:0])
+        if not len(r):
+            if how == "inner":
+                return _restore_dtypes(out.reindex(columns=out_cols).iloc[:0])
+            for c in r_cols_out:
+                t = uni.field(c).type
+                if pa.types.is_integer(t) or pa.types.is_floating(t):
+                    out[c] = np.full(len(out), np.nan)
+                else:
+                    out[c] = pd.Series([None] * len(out), dtype=object)
+            return _restore_dtypes(out[out_cols])
+        lts = l[ts_col].to_numpy(np.int64)
+        r_ts_raw = r[r_ts_out].to_numpy(np.int64)
+        order = np.argsort(r_ts_raw, kind="stable")
+        rts = r_ts_raw[order]
+        rr = r.iloc[order]
+        if back:
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            ok = idx >= 0
+        else:
+            idx = np.searchsorted(rts, lts, side="left")
+            ok = idx < len(rts)
+        if how == "inner":
+            out = out[ok].reset_index(drop=True)
+            tk = idx[ok]
+            for c in r_cols_out:
+                out[c] = rr[c].to_numpy()[tk]
+        else:
+            tk = np.where(ok, idx, 0)
+            for c in r_cols_out:
+                s = _nullable(pd.Series(rr[c].to_numpy()[tk]))
+                out[c] = s.where(pd.Series(ok)).values
+        return _restore_dtypes(out[out_cols])
+
+    return sorted_map_groups(tagged, [key], merge)
+
+
+def interval_join(
+    points: Dataset,
+    intervals: "Dataset | pd.DataFrame",
+    *,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    broadcast_max_rows: int | None = None,
+    suffix: str = "_r",
+) -> Dataset:
+    """Range (interval-containment) join: every point row joins every
+    interval row with ``start <= ts < end`` — no equality key at all,
+    the shape Ray Data's hash ``join`` cannot express.
+
+    Scale shape (the standard bin-replication recipe): each interval
+    replicates to the coarse time bins it overlaps
+    (``(end - start) / bin_width + 1`` copies — pick ``bin_width`` near
+    the typical interval length to bound the fan-out); each point maps
+    to exactly ONE bin, so the equi-join on the bin column introduces
+    no duplicates; an exact containment filter finishes.  The join
+    itself routes through :func:`join_auto`, so a small interval set
+    broadcasts (``ray.put`` once) and a large one falls back to the
+    partitioned hash join — the point stream never shuffles in the
+    broadcast regime.
+
+    All three range columns must be int64-comparable (cast timestamps
+    to epoch µs upstream); ``end_col`` is exclusive.
+    """
+    import ray.data as rd
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[start_col].to_numpy(np.int64) // bin_width
+        e = (b[end_col].to_numpy(np.int64) - 1) // bin_width
+        reps = (e - s + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(b)), reps)
+        out = b.iloc[idx].reset_index(drop=True)
+        # per-row bin offsets 0..reps-1, vectorized
+        offs = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        out["__bin"] = s[idx] + offs
+        return out
+
+    if isinstance(intervals, Dataset):
+        iv = intervals.map_batches(explode, batch_format="pandas")
+    else:
+        iv = rd.from_pandas(explode(intervals))
+
+    def add_bin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bin"] = b[ts_col].to_numpy(np.int64) // bin_width
+        return b
+
+    binned = points.map_batches(add_bin, batch_format="pandas")
+    joined = join_auto(
+        binned, iv, on="__bin", suffix=suffix, broadcast_max_rows=broadcast_max_rows
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b[ts_col].to_numpy(np.int64)
+        keep = (b[start_col].to_numpy(np.int64) <= ts) & (
+            ts < b[end_col].to_numpy(np.int64)
+        )
+        return b[keep].drop(columns=["__bin"])
+
+    from .canonicalize import _drop_empty_blocks
+
+    return _drop_empty_blocks(joined.map_batches(finish, batch_format="pandas"))
+
+
 def quantile_per_group(
     ds: Dataset,
     key: str,

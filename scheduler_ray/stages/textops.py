@@ -72,6 +72,73 @@ def quality_stage(docs: Dataset) -> Dataset:
     return docs.map_batches(quality_score_batch, batch_format="pandas")
 
 
+def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition quality features, vectorized per batch:
+    ``top_word_frac`` (most frequent word's share of all words) and
+    ``dup_2gram_frac`` (1 − distinct/total word 2-grams) — the standard
+    boilerplate/spam signals for LLM-corpus filtering.
+
+    Word boundary is a single ASCII space (``split(' ')``), pinned to the
+    DuckDB oracle's ``string_split(text, ' ')`` semantics (NOT Python's
+    ``split()``, which collapses runs of whitespace).
+
+    Kernel shape: one ``factorize`` over the batch's exploded words, then
+    per-(doc, code) counting via ``np.unique`` on a composite int64 and
+    segment maxima via ``np.maximum.reduceat`` — no per-row Python.
+    Per-doc independent → embarrassingly parallel, no shuffle.
+    """
+    if not len(batch):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+                "top_word_frac": pd.Series([], dtype="float64"),
+                "dup_2gram_frac": pd.Series([], dtype="float64"),
+            }
+        )
+    words = batch["text"].str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    flat = words.explode().to_numpy()
+    codes, uniq = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    n = len(batch)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    V = max(len(uniq), 1)
+    # composite (doc, word) key fits int64 comfortably: V ≤ batch word
+    # count (~1e5-1e6) and docs ≤ batch rows
+    if n * V * V >= np.iinfo(np.int64).max // 4:
+        raise ValueError("batch vocabulary too large for composite keys")
+    comp = doc_idx * V + codes
+    u, counts = np.unique(comp, return_counts=True)
+    udoc = u // V
+    starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+    top = np.zeros(n, np.int64)
+    top[udoc[starts]] = np.maximum.reduceat(counts, starts) if len(u) else 0
+    top_word_frac = np.round(top * 1.0 / np.maximum(lens, 1), 6)
+
+    same = doc_idx[1:] == doc_idx[:-1]
+    gd = doc_idx[:-1][same]
+    gram = codes[:-1][same] * V + codes[1:][same]
+    u2 = np.unique(gd * (V * V) + gram)
+    d_g = np.bincount(u2 // (V * V), minlength=n)
+    n_g = np.maximum(lens - 1, 0)
+    dup_2gram_frac = np.round(
+        np.where(n_g > 0, 1.0 - d_g * 1.0 / np.maximum(n_g, 1), 0.0), 6
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": lens,
+            "top_word_frac": top_word_frac,
+            "dup_2gram_frac": dup_2gram_frac,
+        }
+    )
+
+
+def repetition_stage(docs: Dataset) -> Dataset:
+    return docs.map_batches(repetition_batch, batch_format="pandas")
+
+
 def _stopword_key(w: str) -> int:
     """Little-endian byte-packed key of a (short) stopword."""
     k = 0

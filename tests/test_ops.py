@@ -1594,3 +1594,153 @@ def test_quantile_per_group_matches_numpy():
             lambda s: round(float(np.percentile(s, q * 100, method="linear")), 6)
         )
         pd.testing.assert_series_equal(got, want.sort_index(), check_names=False)
+
+
+def test_asof_join_matches_merge_asof():
+    """asof_join == pandas merge_asof (by-key backward/forward) across
+    deliberately fragmented blocks, for inner and left joins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import asof_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, 800),
+            "ts": rng.randint(0, 10**5, 800).astype("datetime64[s]").astype("datetime64[us]"),
+            "lid": np.arange(800),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, 300),
+            "ts": rng.randint(0, 10**5, 300).astype("datetime64[s]").astype("datetime64[us]"),
+            "v": rng.randn(300).round(3),
+        }
+    ).drop_duplicates(["k", "ts"])
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right).repartition(5)
+    lr, rr = left.sort_values("ts"), right.sort_values("ts")
+
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(lds, rds, key="k", ts_col="ts", direction=direction)
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.merge_asof(lr, rr, on="ts", by="k", direction=direction)
+            .dropna(subset=["v"])
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+        assert np.allclose(got["v"].astype(float), want["v"])
+        # normalized epoch-µs timestamps survive as int64
+        assert got["ts"].dtype == np.int64 and got["lid"].dtype == np.int64
+
+    got_l = (
+        asof_join(lds, rds, key="k", ts_col="ts", how="left")
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want_l = (
+        pd.merge_asof(lr, rr, on="ts", by="k", direction="backward")
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got_l) == len(left)
+    hit = ~want_l["v"].isna().to_numpy()
+    assert (got_l["v"].isna().to_numpy() == ~hit).all()
+    assert np.allclose(got_l["v"].to_numpy()[hit], want_l["v"].to_numpy()[hit])
+
+
+def test_asof_join_key_without_right_rows():
+    """A key with zero right-side rows drops (inner) / stays null (left)
+    even when that key straddles block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1] * 6 + [2] * 6, "ts": np.arange(12, dtype=np.int64), "lid": np.arange(12)}
+    )
+    right = pd.DataFrame({"k": [1], "ts": np.int64([3]), "v": [9.0]})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right)
+    got = asof_join(lds, rds, key="k", ts_col="ts").to_pandas()
+    assert set(got["k"]) == {1} and len(got) == 3  # ts 3,4,5
+    got_l = asof_join(lds, rds, key="k", ts_col="ts", how="left").to_pandas()
+    assert len(got_l) == 12
+    assert got_l[got_l["k"] == 2]["v"].isna().all()
+
+
+def test_interval_join_broadcast_matches_distributed():
+    """interval_join == the O(n²) reference on overlapping intervals, and
+    the forced-ceiling distributed path returns the identical pair set."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import interval_join
+
+    rng = np.random.RandomState(3)
+    pts = pd.DataFrame({"pid": np.arange(900), "t": rng.randint(0, 5000, 900).astype(np.int64)})
+    iv = pd.DataFrame({"iid": np.arange(60), "s": rng.randint(0, 5000, 60).astype(np.int64)})
+    iv["e"] = iv["s"] + rng.randint(1, 700, 60)
+
+    want = pts.merge(iv, how="cross")
+    want = want[(want["t"] >= want["s"]) & (want["t"] < want["e"])]
+    want = want.sort_values(["pid", "iid"]).reset_index(drop=True)
+
+    for ceil in (None, 1):
+        got = (
+            interval_join(
+                rd.from_pandas(pts).repartition(5),
+                rd.from_pandas(iv).repartition(3),
+                ts_col="t",
+                start_col="s",
+                end_col="e",
+                bin_width=512,
+                broadcast_max_rows=ceil,
+            )
+            .to_pandas()
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        assert (got[["pid", "iid"]].to_numpy() == want[["pid", "iid"]].to_numpy()).all()
+
+
+def test_repetition_batch_known_values():
+    """repetition_batch on hand-computable docs: split(' ') semantics,
+    top-word share, duplicate-2-gram fraction."""
+    import pandas as pd
+
+    from scheduler_ray.stages.textops import repetition_batch
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a b a",      # 5 words, top a=3; grams ab,ba,ab,ba -> 2 distinct of 4
+                "x",               # 1 word, no grams
+                "q q q q",         # all same: top 4/4; grams qq x3 -> 1 distinct of 3
+                "u v w",           # all unique
+            ],
+        }
+    )
+    out = repetition_batch(docs).set_index("doc_id")
+    assert out.loc[0, "n_words"] == 5
+    assert out.loc[0, "top_word_frac"] == round(3 / 5, 6)
+    assert out.loc[0, "dup_2gram_frac"] == round(1 - 2 / 4, 6)
+    assert out.loc[1, "n_words"] == 1 and out.loc[1, "dup_2gram_frac"] == 0.0
+    assert out.loc[2, "top_word_frac"] == 1.0
+    assert out.loc[2, "dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out.loc[3, "top_word_frac"] == round(1 / 3, 6)
+    assert out.loc[3, "dup_2gram_frac"] == 0.0
