@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows_hopping": q.q_event_windows_hopping,
         "events_asof": q.q_events_asof,
         "events_range_join": q.q_events_range_join,
+        "event_zscore": q.q_event_zscore,
+        "doc_sample_stratified": q.q_doc_sample_stratified,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -271,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "event_windows_hopping": q.SQL_EVENT_WINDOWS_HOPPING,
         "events_asof": q.SQL_EVENTS_ASOF,
         "events_range_join": q.SQL_EVENTS_RANGE_JOIN,
+        "event_zscore": q.SQL_EVENT_ZSCORE,
+        "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,

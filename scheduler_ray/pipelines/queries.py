@@ -282,6 +282,44 @@ GROUP BY 1, 2
 """
 
 
+def q_event_zscore(sf_dir: str):
+    """Per-group z-score normalization (feature scaling) —
+    ``relational.zscore_per_group``: per-block moment partials →
+    ``sorted_agg_by`` → keys-cardinality moments table rejoins the raw
+    stream through size-gated ``join_auto``; raw rows never shuffle in
+    the broadcast regime."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = rel.zscore_per_group(ev, "user_id", "value").to_pandas()
+    return out[["event_id", "user_id", "z"]]
+
+
+SQL_EVENT_ZSCORE = """
+SELECT event_id, user_id,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified downsampling (domain-mix rebalancing:
+    keep the first ceil(n/10) docs per source by doc_id) —
+    ``relational.stratified_sample``; the quota is exact integer
+    arithmetic on both engines (ratio of ints, never a float frac)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = rel.stratified_sample(docs, "source", 1, 10, "doc_id").to_pandas()
+    return out[["doc_id", "source", "n_chars"]]
+
+
+SQL_DOC_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+WHERE rn <= CEIL(n * 1.0 / 10)
+"""
+
+
 def q_events_asof(sf_dir: str):
     """AS-OF join (time-series enrichment): every click event picks up
     the user's most recent prior-or-equal purchase — the operator Ray

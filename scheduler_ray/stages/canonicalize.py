@@ -906,14 +906,28 @@ def sorted_agg_by(
         )
     )
     srt = _drop_empty_blocks(part.sort(keys))
+    # MATERIALIZE the post-sort partials: the border pass below and the
+    # final drop_dup+union output are two separate consumers, and a lazy
+    # part2 would re-execute the whole upstream graph per consumer — 2×
+    # compute AND a correctness hazard (nothing pins Ray to identical
+    # block layouts across executions; a key straddling blocks only in
+    # the second execution would evade the border-derived dup filter).
+    # The materialized object is one partial row per key per block —
+    # result-sized, never the raw input.
     part2 = _drop_empty_blocks(
         srt.map_batches(
             partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
-    )
+    ).materialize()
 
     def border_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        # a 1-row block must emit its row ONCE: first-and-last is the
+        # same physical row, and emitting it twice flags the key as a
+        # block-straddler whose sum fixup then DOUBLE-COUNTS it (this
+        # corrupted per-key sums nondeterministically whenever the sort
+        # produced single-row blocks — caught by stratified_sample's
+        # quota oracle; min/max/distinct fixups were idempotently safe)
+        if t.num_rows <= 1:
             return t
         return pa.concat_tables([t.slice(0, 1), t.slice(t.num_rows - 1, 1)])
 
@@ -997,12 +1011,23 @@ def sorted_map_groups(ds: Dataset, keys: "list[str]", fn) -> Dataset:
     """
     import pandas as pd
 
-    srt = _drop_empty_blocks(ds.sort(keys))
+    # materialize once: border detection, the main per-segment pass and
+    # the straddler fallback are up to THREE consumers of the sorted
+    # stream — lazily each would re-execute the full upstream graph, and
+    # a layout change between executions would let a straddling group
+    # evade the border-derived dup set and be processed as two separate
+    # segments (wrong results).  Pinning the blocks makes the contract
+    # exact and pays the sort's own buffering cost only once.
+    srt = _drop_empty_blocks(ds.sort(keys)).materialize()
 
     def border_keys(t: pa.Table) -> pa.Table:
         k = t.select(keys)
         if t.num_rows == 0:
             return k
+        if t.num_rows == 1:
+            # single physical row — emit once (twice would flag the key
+            # as a straddler and route it to the fallback needlessly)
+            return k.slice(0, 1)
         return pa.concat_tables([k.slice(0, 1), k.slice(t.num_rows - 1, 1)])
 
     bk = srt.map_batches(

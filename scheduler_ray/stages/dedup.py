@@ -152,14 +152,23 @@ def exact_dedup_docs(docs: Dataset) -> Dataset:
         mask[1:] = k[1:] != k[:-1]
         return t.filter(pa.array(mask))
 
+    # materialized: the border pass and the drop_dup output would
+    # otherwise re-execute the upstream graph separately, and a block
+    # layout change between the two executions could let a straddling
+    # hash evade the border-derived dup filter (same fix as
+    # canonicalize.sorted_agg_by); the object is one row per distinct
+    # hash per block — result-sized
     part = _drop_empty_blocks(
         srt.map_batches(
             first_per_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
-    )
+    ).materialize()
 
     def border_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        # 1-row block: emit the row once — first-and-last is the same
+        # physical row (double emission is idempotent for this
+        # first-wins fixup but needlessly routes the key to the fixup)
+        if t.num_rows <= 1:
             return t
         return pa.concat_tables([t.slice(0, 1), t.slice(t.num_rows - 1, 1)])
 

@@ -305,11 +305,16 @@ def sessionize(
             }
         )
 
+    # materialized: the border pass and the drop_frag output are two
+    # consumers — a lazy dataset would re-execute the sort per consumer
+    # and could change block layout between them, desyncing the border
+    # stitch (same fix as canonicalize.sorted_agg_by); sessions are
+    # result-sized, never the raw event stream
     part = _drop_empty_blocks(
         srt.map_batches(
             block_sessions, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
-    )
+    ).materialize()
 
     def border_rows(t: pa.Table) -> pa.Table:
         pos = pa.array([2] if t.num_rows == 1 else [0, 1], pa.int64())
@@ -468,6 +473,112 @@ def hopping_window_agg(
     return sorted_agg_by(
         partials, [key, "win_start"], {"win_sum": "sum", "win_n": "sum"}
     )
+
+
+def zscore_per_group(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    *,
+    out_col: str = "z",
+    nd: int = 4,
+) -> Dataset:
+    """Per-group z-score normalization (``(x - mean_g) / stddev_samp_g``)
+    — the feature-scaling / outlier-trim curation step.
+
+    Scale shape (aggregate-then-rejoin enrichment): per-block
+    ``(key, sum, sumsq, n)`` partials → ``sorted_agg_by`` (only one
+    partial row per key per block shuffles) → the keys-cardinality
+    moments table rejoins the raw stream through size-gated
+    :func:`join_auto` (broadcast under the ceiling, partitioned hash
+    join above).  The raw rows are never shuffled in the broadcast
+    regime.  Sample stddev (n-1); single-row groups get NaN like SQL's
+    ``STDDEV_SAMP`` returns NULL.
+    """
+    from .canonicalize import sorted_agg_by
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        g = pd.DataFrame({key: b[key], "_s": v, "_ss": v * v, "_n": 1})
+        return g.groupby(key, as_index=False).agg(
+            _s=("_s", "sum"), _ss=("_ss", "sum"), _n=("_n", "sum")
+        )
+
+    stats = sorted_agg_by(
+        ds.map_batches(moments, batch_format="pandas"),
+        key,
+        {"_s": "sum", "_ss": "sum", "_n": "sum"},
+    )
+
+    joined = join_auto(ds, stats, on=key)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        s = b["_s"].to_numpy(np.float64)
+        ss = b["_ss"].to_numpy(np.float64)
+        n = b["_n"].to_numpy(np.float64)
+        mean = s / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ss - s * s / n) / (n - 1.0)
+            std = np.sqrt(np.maximum(var, 0.0))
+            z = np.round((v - mean) / std, nd)
+        out = b.drop(columns=["_s", "_ss", "_n"]).reset_index(drop=True)
+        out[out_col] = z
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: Dataset,
+    key: str,
+    num: int,
+    den: int,
+    order_col: str,
+    *,
+    broadcast_max_rows: int | None = None,
+) -> Dataset:
+    """Deterministic stratified downsampling: keep the first
+    ``ceil(n_g * num / den)`` rows of each group in ``order_col`` order
+    — the domain-mix rebalancing step ("cap every source at 10%").
+
+    The fraction is a RATIO OF INTS so the per-group quota is exact
+    integer arithmetic on both engines (a float ``frac * n`` differs
+    between binary doubles and SQL decimals at boundaries).
+
+    Scale shape: per-block ``(key, cnt)`` partials → ``sorted_agg_by``
+    counts (one row per key) → counts rejoin the stream through
+    size-gated :func:`join_auto` → per-block pruning caps each block's
+    contribution at ``quota_g`` rows per group → ``sorted_map_groups``
+    exact finish over the bounded survivors.  No global sort; raw rows
+    shuffle only in the above-ceiling join regime.  ``order_col`` must
+    be unique per group (e.g. a doc id) for a deterministic sample.
+    """
+    from .canonicalize import sorted_agg_by, sorted_map_groups
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).size()
+        return g.rename(columns={"size": "_n"})
+
+    n_by_key = sorted_agg_by(
+        ds.map_batches(counts, batch_format="pandas"), key, {"_n": "sum"}
+    )
+    joined = join_auto(
+        ds, n_by_key, on=key, broadcast_max_rows=broadcast_max_rows
+    )
+
+    def head_quota(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(order_col, kind="mergesort")
+        quota = (b["_n"].to_numpy(np.int64) * num + den - 1) // den
+        keep = b.groupby(key, sort=False).cumcount().to_numpy() < quota
+        return b[keep]
+
+    parts = joined.map_batches(head_quota, batch_format="pandas", batch_size=None)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return head_quota(g).drop(columns=["_n"])
+
+    return sorted_map_groups(parts, [key], finish)
 
 
 def asof_join(

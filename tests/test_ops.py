@@ -1820,3 +1820,102 @@ def test_shacl_zero_or_more_and_one_or_more_paths():
         ]
     })
     assert "maxcount:hyf:downstream*" in validate_doc(long, shapes, geo)
+
+
+def test_sorted_agg_by_sum_single_row_blocks():
+    """Regression: a 1-row sorted block used to emit its border row
+    twice, flagging the key as a straddler whose SUM fixup then
+    double-counted it (nondeterministic per-key sums whenever the sort
+    produced single-row blocks).  Force tiny blocks and assert exact
+    sums across many layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import sorted_agg_by
+
+    df = pd.DataFrame({"k": [f"s{i}" for i in range(20)], "v": np.arange(20) + 1})
+    for parts in (1, 5, 20):
+        got = (
+            sorted_agg_by(rd.from_pandas(df).repartition(parts), "k", {"v": "sum"})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = df.sort_values("k").reset_index(drop=True)
+        assert (got["v"].to_numpy() == want["v"].to_numpy()).all(), parts
+        assert len(got) == 20
+
+
+def test_stratified_sample_quota_exact():
+    """stratified_sample == ROW_NUMBER()-over-window semantics with an
+    exact integer quota, across block layouts and under the forced
+    distributed-join ceiling."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import stratified_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], 400, p=[0.55, 0.25, 0.15, 0.05]),
+            "id": np.arange(400),
+        }
+    )
+
+    def want_rows(num, den):
+        out = []
+        for g, sub in df.groupby("g"):
+            k = (len(sub) * num + den - 1) // den
+            out.append(sub.sort_values("id").head(k))
+        return (
+            pd.concat(out).sort_values(["g", "id"]).reset_index(drop=True)[["g", "id"]]
+        )
+
+    for num, den in ((1, 10), (3, 7)):
+        want = want_rows(num, den)
+        for ceiling in (None, 1):
+            got = (
+                stratified_sample(
+                    rd.from_pandas(df).repartition(9),
+                    "g",
+                    num,
+                    den,
+                    "id",
+                    broadcast_max_rows=ceiling,
+                )
+                .to_pandas()
+                .sort_values(["g", "id"])
+                .reset_index(drop=True)[["g", "id"]]
+            )
+            pd.testing.assert_frame_equal(got, want)
+
+
+def test_zscore_per_group_matches_pandas():
+    """zscore_per_group == pandas groupby transform z-score (sample
+    stddev), exact to rounding across fragmented blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import zscore_per_group
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 7, 500),
+            "id": np.arange(500),
+            "v": rng.randn(500) * 9 + 40,
+        }
+    )
+    got = (
+        zscore_per_group(rd.from_pandas(df).repartition(8), "g", "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    grp = df.groupby("g")["v"]
+    want = ((df["v"] - grp.transform("mean")) / grp.transform("std")).round(4)
+    assert np.allclose(got["z"].to_numpy(), want.to_numpy())
