@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q.q_events_range_join,
         "event_zscore": q.q_event_zscore,
         "doc_sample_stratified": q.q_doc_sample_stratified,
+        "doc_packing": q.q_doc_packing,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": q.SQL_EVENTS_RANGE_JOIN,
         "event_zscore": q.SQL_EVENT_ZSCORE,
         "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
+        "doc_packing": q.SQL_DOC_PACKING,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,

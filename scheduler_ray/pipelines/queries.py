@@ -320,6 +320,28 @@ WHERE rn <= CEIL(n * 1.0 / 10)
 """
 
 
+def q_doc_packing(sf_dir: str):
+    """Sequence packing (fill 2000-char windows per source, docs in
+    doc_id order) — ``relational.group_prefix_sum``'s distributed scan:
+    ``pack_id = prefix_before // budget``.  One range-sort, per-block
+    segmented cumsum, O(#blocks) driver carry chain."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = rel.group_prefix_sum(
+        docs, "source", "n_chars", "doc_id", out_col="_pb", exclusive=True
+    ).to_pandas()
+    out["pack_id"] = out["_pb"] // 2000
+    return out[["doc_id", "source", "n_chars", "pack_id"]]
+
+
+SQL_DOC_PACKING = """
+SELECT doc_id, source, n_chars,
+       CAST((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars)
+            // 2000 AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
 def q_events_asof(sf_dir: str):
     """AS-OF join (time-series enrichment): every click event picks up
     the user's most recent prior-or-equal purchase — the operator Ray

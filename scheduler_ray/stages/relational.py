@@ -475,6 +475,129 @@ def hopping_window_agg(
     )
 
 
+def group_prefix_sum(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    order_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    exclusive: bool = False,
+) -> Dataset:
+    """Distributed per-group PREFIX SUM (SQL's ``SUM(v) OVER (PARTITION
+    BY key ORDER BY order ROWS UNBOUNDED PRECEDING)``) — the scan
+    primitive behind sequence packing ("fill 2048-token windows per
+    source"), running budgets and cumulative quotas.
+
+    Scale shape: one range-sort on (key, order) (materialized so both
+    passes see identical blocks), a vectorized segmented cumsum per
+    block, and an O(#blocks) driver chain: each block ships only its
+    first/last key runs' totals; the driver forward-propagates the carry
+    a straddling key accumulates across consecutive blocks and hands
+    each block its first-key offset back (keyed by the block's first
+    (key, order) row — ``order_col`` must be unique per key).  Rows
+    never leave their block after the sort; no per-group Python.
+
+    ``exclusive=True`` returns the sum of STRICTLY PRIOR rows (the
+    packing form: ``window = prefix_before // budget``).
+    """
+    from .canonicalize import _drop_empty_blocks
+
+    srt = _drop_empty_blocks(ds.sort([key, order_col])).materialize()
+
+    def _segments(k: np.ndarray):
+        brk = np.ones(len(k), bool)
+        brk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(brk)
+        return starts, np.append(starts[1:], len(k))
+
+    def summary(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key: df[key],
+                    "_ord": df[order_col],
+                    "_run": pd.Series([], dtype="int64"),
+                    "_pos": pd.Series([], dtype="int64"),
+                }
+            )
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        starts, ends = _segments(k)
+        first_total = int(v[starts[0] : ends[0]].sum())
+        last_total = int(v[starts[-1] : ends[-1]].sum())
+        # pos 2 == single-key block (head and tail are the same run)
+        if len(starts) == 1:
+            return pd.DataFrame(
+                {
+                    key: [k[0]],
+                    "_ord": [df[order_col].iloc[0]],
+                    "_run": [first_total],
+                    "_pos": [2],
+                }
+            )
+        return pd.DataFrame(
+            {
+                key: [k[0], k[-1]],
+                "_ord": [df[order_col].iloc[0], df[order_col].iloc[0]],
+                "_run": [first_total, last_total],
+                "_pos": [0, 1],
+            }
+        )
+
+    border = srt.map_batches(
+        summary, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    # reassemble per-block summaries (blocks arrive in sorted order: a
+    # single-key block is one _pos=2 row, a multi-key block a _pos=0
+    # head + _pos=1 tail pair), then forward-propagate the carry a
+    # straddling key accumulates across consecutive blocks
+    rows = border.to_dict("records")
+    blocks = []
+    i = 0
+    while i < len(rows):
+        r = rows[i]
+        if r["_pos"] == 2:
+            blocks.append((r[key], r["_ord"], r["_run"], r[key], r["_run"], True))
+            i += 1
+        else:
+            r2 = rows[i + 1]
+            blocks.append((r[key], r["_ord"], r["_run"], r2[key], r2["_run"], False))
+            i += 2
+    offsets: dict = {}
+    carry_key, carry = None, 0
+    for fk, ford, ft, lk, lt, single in blocks:
+        off = carry if fk == carry_key else 0
+        if off:
+            offsets[(fk, ford)] = off
+        if single:
+            carry_key, carry = fk, off + ft
+        else:
+            carry_key, carry = lk, lt
+    off_ref = ray.put(offsets)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{out_col: pd.Series([], dtype="int64")})
+        offs = ray.get(off_ref)
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        starts, ends = _segments(k)
+        counts = ends - starts
+        cum = np.cumsum(v)
+        seg_base = np.repeat(cum[starts] - v[starts], counts)
+        inc = cum - seg_base  # per-segment inclusive cumsum
+        base = np.zeros(len(df), np.int64)
+        head_off = offs.get((k[0], df[order_col].iloc[0]), 0)
+        if head_off:
+            base[starts[0] : ends[0]] = head_off
+        out = df.copy()
+        out[out_col] = base + (inc - v if exclusive else inc)
+        return out
+
+    return srt.map_batches(apply, batch_format="pandas", batch_size=None)
+
+
 def zscore_per_group(
     ds: Dataset,
     key: str,

@@ -1919,3 +1919,44 @@ def test_zscore_per_group_matches_pandas():
     grp = df.groupby("g")["v"]
     want = ((df["v"] - grp.transform("mean")) / grp.transform("std")).round(4)
     assert np.allclose(got["z"].to_numpy(), want.to_numpy())
+
+
+def test_group_prefix_sum_matches_cumsum():
+    """group_prefix_sum == pandas groupby cumsum (inclusive and
+    exclusive) across block layouts, including heavy single-key
+    straddling (one hot group over many tiny blocks)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import group_prefix_sum
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 600, p=[0.8, 0.15, 0.05]),
+            "id": np.arange(600),
+            "w": rng.randint(1, 50, 600).astype(np.int64),
+        }
+    )
+    want = (
+        df.sort_values(["g", "id"])
+        .assign(ps=lambda d: d.groupby("g")["w"].cumsum())
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for parts in (1, 6, 40):
+        for excl in (False, True):
+            got = (
+                group_prefix_sum(
+                    rd.from_pandas(df).repartition(parts), "g", "w", "id", exclusive=excl
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            exp = want["ps"] - (want["w"] if excl else 0)
+            assert (got["prefix_sum"].to_numpy() == exp.to_numpy()).all(), (
+                parts,
+                excl,
+            )
