@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_zscore": q.q_event_zscore,
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "doc_packing": q.q_doc_packing,
+        "heavy_hitter_words": q.q_heavy_hitter_words,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "event_zscore": q.SQL_EVENT_ZSCORE,
         "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
         "doc_packing": q.SQL_DOC_PACKING,
+        "heavy_hitter_words": q.SQL_HEAVY_HITTER_WORDS,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,

@@ -320,6 +320,24 @@ WHERE rn <= CEIL(n * 1.0 / 10)
 """
 
 
+def q_heavy_hitter_words(sf_dir: str):
+    """Exact top-30 corpus words via the two-pass heavy-hitters sketch
+    (``textops.heavy_hitter_words``): per-block Misra-Gries truncation +
+    slack certificate + exact candidate recount — only ≤ width survivor
+    rows per block ever leave a block."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.heavy_hitter_words(docs, 30)
+
+
+SQL_HEAVY_HITTER_WORDS = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY 1
+ORDER BY n DESC, word
+LIMIT 30
+"""
+
+
 def q_doc_packing(sf_dir: str):
     """Sequence packing (fill 2000-char windows per source, docs in
     doc_id order) — ``relational.group_prefix_sum``'s distributed scan:

@@ -139,6 +139,89 @@ def repetition_stage(docs: Dataset) -> Dataset:
     return docs.map_batches(repetition_batch, batch_format="pandas")
 
 
+def heavy_hitter_words(docs: Dataset, k: int, *, width: int = 4096) -> pd.DataFrame:
+    """EXACT top-k words by corpus frequency via a two-pass sketch —
+    the scale-honest alternative to a full-vocabulary ``groupby`` (whose
+    exchange carries every distinct token at web scale).
+
+    Pass 1 (sketch): each block keeps only tokens whose in-block count
+    exceeds the block's (width+1)-th largest count ``d_b`` (the offline
+    Misra-Gries truncation) and ships ``≤ width`` survivor rows plus its
+    slack ``d_b``.  A token never surviving any block has true count
+    ``≤ D = Σ_b d_b``.  Pass 2 (certify + recount): the merged candidate
+    set broadcasts back and is recounted EXACTLY; if the k-th recounted
+    count exceeds ``D`` the sketch provably captured every true top-k
+    token.  Otherwise (corpus flatter than ``width`` can certify) the
+    operator falls back to the exact full partial-count path — the
+    result is exact either way, the sketch only bounds what shuffles.
+
+    Driver state is O(width × #blocks) candidate rows (tree-merge it for
+    extreme block counts); the corpus streams twice and never shuffles.
+    """
+    import ray
+
+    def _block_counts(b: pd.DataFrame):
+        words = b["text"].str.split(" ").explode()
+        codes, uniq = pd.factorize(words.to_numpy())
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return np.asarray(uniq, object), cnt
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        toks, cnt = _block_counts(b)
+        if len(cnt) > width:
+            d = np.partition(cnt, len(cnt) - width - 1)[len(cnt) - width - 1]
+        else:
+            d = 0
+        keep = cnt > d
+        out = pd.DataFrame({"word": toks[keep], "c": cnt[keep].astype(np.int64)})
+        out["_d"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("_d")] = int(d)
+        else:
+            out = pd.DataFrame({"word": [""], "c": [0], "_d": [int(d)]})
+        return out
+
+    sk = docs.map_batches(sketch, batch_format="pandas").to_pandas()
+    slack = int(sk["_d"].sum())
+    cands = sk[sk["c"] > 0]["word"].unique()
+    cand_ref = ray.put(set(cands))
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        toks, cnt = _block_counts(b)
+        keep = np.fromiter((t in cs for t in toks), bool, len(toks))
+        return pd.DataFrame({"word": toks[keep], "c": cnt[keep].astype(np.int64)})
+
+    exact = (
+        docs.map_batches(recount, batch_format="pandas")
+        .to_pandas()
+        .groupby("word", as_index=False)["c"]
+        .sum()
+    )
+    top = exact.sort_values(["c", "word"], ascending=[False, True]).head(k)
+    kth = int(top["c"].iloc[-1]) if len(top) >= k else 0
+    # slack == 0 → every token that appears anywhere survived its block,
+    # so the candidate set is the full vocabulary; otherwise the k-th
+    # recounted count must beat the worst-case count of an unseen token
+    certified = slack == 0 or (len(top) >= k and kth > slack)
+    if not certified:
+        # flat corpus: the sketch cannot rule out an unseen heavy hitter
+        # — recount everything (exact, vocabulary-cardinality exchange)
+        full = (
+            docs.map_batches(
+                lambda b: pd.DataFrame(
+                    dict(zip(("word", "c"), _block_counts(b)))
+                ).astype({"c": "int64"}),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby("word", as_index=False)["c"]
+            .sum()
+        )
+        top = full.sort_values(["c", "word"], ascending=[False, True]).head(k)
+    return top.rename(columns={"c": "n"}).reset_index(drop=True)
+
+
 def _stopword_key(w: str) -> int:
     """Little-endian byte-packed key of a (short) stopword."""
     k = 0

@@ -1960,3 +1960,48 @@ def test_group_prefix_sum_matches_cumsum():
                 parts,
                 excl,
             )
+
+
+def test_heavy_hitter_words_sketch_and_fallback():
+    """heavy_hitter_words == exact top-k under (a) a skewed corpus where
+    the sketch certificate holds at tiny width, and (b) a flat corpus
+    that forces the exact fallback — both across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.textops import heavy_hitter_words
+
+    rng = np.random.RandomState(4)
+
+    def exact_topk(docs, k):
+        w = docs["text"].str.split(" ").explode()
+        c = w.value_counts().reset_index()
+        c.columns = ["word", "n"]
+        return (
+            c.sort_values(["n", "word"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+
+    # skewed: zipf-ish over a vocabulary much larger than the width
+    vocab = np.array([f"w{i}" for i in range(3000)])
+    probs = 1.0 / np.arange(1, 3001)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, 60, p=probs)) for _ in range(300)
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    for parts in (2, 11):
+        got = heavy_hitter_words(
+            rd.from_pandas(docs).repartition(parts), 10, width=64
+        )
+        pd.testing.assert_frame_equal(got, exact_topk(docs, 10))
+
+    # flat: every word near-equal frequency, width too small to certify
+    flat_vocab = np.array([f"f{i}" for i in range(500)])
+    texts2 = [" ".join(rng.permutation(flat_vocab)[:50]) for _ in range(200)]
+    docs2 = pd.DataFrame({"doc_id": np.arange(200), "text": texts2})
+    got2 = heavy_hitter_words(rd.from_pandas(docs2).repartition(7), 10, width=8)
+    pd.testing.assert_frame_equal(got2, exact_topk(docs2, 10))
