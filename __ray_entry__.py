@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "doc_packing": q.q_doc_packing,
         "heavy_hitter_words": q.q_heavy_hitter_words,
+        "event_window_distinct": q.q_event_window_distinct,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_groups": q.q_embed_neardup_groups,
         "curation_pipeline": q.q_curation_pipeline,
         "label_counts": q.q_label_counts,
+        "label_centroids": q.q_label_centroids,
         # exports / spatial / multimodal
         "feature_table": q.q_feature_table,
         "feature_table_grouped": q.q_feature_table_grouped,
@@ -279,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
         "doc_packing": q.SQL_DOC_PACKING,
         "heavy_hitter_words": q.SQL_HEAVY_HITTER_WORDS,
+        "event_window_distinct": q.SQL_EVENT_WINDOW_DISTINCT,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,
@@ -300,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_groups": q.SQL_EMBED_NEARDUP_GROUPS,
         "curation_pipeline": q.SQL_CURATION_PIPELINE,
         "label_counts": q.SQL_LABEL_COUNTS,
+        "label_centroids": q.SQL_LABEL_CENTROIDS,
         "feature_table": q.sql_feature_table(),
         "feature_table_grouped": q.sql_feature_table(),
         "feature_mercator": q.sql_feature_mercator(),

@@ -360,6 +360,51 @@ FROM documents
 """
 
 
+def q_event_window_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT event_type) per (user, 1-hour window) —
+    composed from the sorted-agg primitives: per-block distinct partials
+    → global distinct over the composite key (each (u, w, type) then
+    lives exactly once) → per-block count partials → summed.  The raw
+    event stream never shuffles; only (u, w, type) distinct rows do."""
+    from ..stages.canonicalize import sorted_agg_by
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "window": (epoch // 1_000_000) // 3600,
+                "event_type": b["event_type"],
+            }
+        )
+        return out.drop_duplicates()
+
+    distinct = sorted_agg_by(
+        ev.map_batches(tag, batch_format="pandas"),
+        ["user_id", "window", "event_type"],
+        {},
+    )
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "window"], as_index=False).size()
+        return g.rename(columns={"size": "n_types"})
+
+    return sorted_agg_by(
+        distinct.map_batches(cnt, batch_format="pandas"),
+        ["user_id", "window"],
+        {"n_types": "sum"},
+    )
+
+
+SQL_EVENT_WINDOW_DISTINCT = """
+SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS window,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_asof(sf_dir: str):
     """AS-OF join (time-series enrichment): every click event picks up
     the user's most recent prior-or-equal purchase — the operator Ray
@@ -1082,6 +1127,25 @@ def q_embed_neardup_groups(sf_dir: str):
 SQL_EMBED_NEARDUP_GROUPS = f"""
 SELECT vec_id + {PLANT_OFFSET} AS vec_id, vec_id AS keeper
 FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes) —
+    ``similarity.label_centroids``: labels×dims partials per block, raw
+    vectors never shuffle."""
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return sim.label_centroids(emb)
+
+
+# float32 values are widened to double before averaging on both engines;
+# summation-order error is ~1e-15 relative, far under the 6-decimal round
+SQL_LABEL_CENTROIDS = """
+SELECT label, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY 1, 2
 """
 
 

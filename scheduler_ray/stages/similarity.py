@@ -547,3 +547,38 @@ class BucketedAnnIndex:
         ids = df["vec_id"].to_numpy()
         order = np.lexsort((ids, -sims))[:k]
         return pd.DataFrame({"vec_id": ids[order], "score": sims[order]})
+
+
+def label_centroids(embeddings: Dataset, *, nd: int = 6) -> pd.DataFrame:
+    """Per-label embedding centroids (class prototypes — the semdedup /
+    prototype-classifier building block): mean vector per label, exact.
+
+    Scale shape: each block contributes one ``(label, dim) → (sum, n)``
+    partial per label (labels × dims rows — bounded by the label
+    vocabulary, never the corpus), summed on the driver; the raw
+    vectors never shuffle and never land on the driver.  Output is the
+    long-form (label, dim, c) table so the SQL oracle can reproduce it
+    with ``unnest + generate_subscripts``.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = _embedding_matrix(b)
+        labels = b["label"].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv)
+        n_lab, dim = sums.shape
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, dim),
+                "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), n_lab),
+                "_s": sums.ravel(),
+                "_n": np.repeat(cnt, dim).astype(np.int64),
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).sum()
+    agg["c"] = (agg["_s"] / agg["_n"]).round(nd)
+    return agg[["label", "dim", "c"]].reset_index(drop=True)

@@ -2005,3 +2005,27 @@ def test_heavy_hitter_words_sketch_and_fallback():
     docs2 = pd.DataFrame({"doc_id": np.arange(200), "text": texts2})
     got2 = heavy_hitter_words(rd.from_pandas(docs2).repartition(7), 10, width=8)
     pd.testing.assert_frame_equal(got2, exact_topk(docs2, 10))
+
+
+def test_label_centroids_matches_numpy():
+    """label_centroids == per-label numpy mean across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.similarity import label_centroids
+
+    rng = np.random.RandomState(6)
+    n, dim = 300, 8
+    df = pd.DataFrame(
+        {
+            "embedding": list(rng.randn(n, dim).astype(np.float32)),
+            "label": rng.randint(0, 4, n),
+        }
+    )
+    got = label_centroids(rd.from_pandas(df).repartition(9))
+    for lab in range(4):
+        m = np.stack(df[df["label"] == lab]["embedding"].to_numpy()).astype(np.float64)
+        want = np.round(m.mean(axis=0), 6)
+        g = got[got["label"] == lab].sort_values("dim")["c"].to_numpy()
+        assert np.allclose(g, want, atol=1e-9), lab
