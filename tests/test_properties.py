@@ -236,3 +236,79 @@ def test_extraction_tag_variant_invariance(
     )
     out = extract_jsonld_batch(batch)
     assert out["extracted"].to_pylist() == [payload]
+
+
+# ---- sorted-aggregate primitives (the border-fixup bug class) --------
+#
+# sorted_agg_by's round-5 bug (1-row blocks double-emitting their border
+# row, double-counting SUM fixups) motivates exhaustive layout fuzzing:
+# random frames × random block counts must match pandas exactly for
+# every aggregate kind.
+
+_key_st = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_key_st, st.integers(min_value=1, max_value=12), st.randoms())
+def test_sorted_agg_by_matches_pandas_any_layout(keys, n_parts, rnd):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.canonicalize import sorted_agg_by
+
+    vals = [rnd.randint(-50, 50) for _ in keys]
+    df = pd.DataFrame({"k": keys, "v": np.array(vals, np.int64)})
+    ds = rd.from_pandas(df).repartition(min(n_parts, len(df)))
+    for agg in ("sum", "min", "max"):
+        got = (
+            sorted_agg_by(ds, "k", {"v": agg})
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k", as_index=False)
+            .agg(v=("v", agg))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # empty aggs == distinct
+    got_d = sorted(sorted_agg_by(ds, "k", {}).to_pandas()["k"])
+    assert got_d == sorted(df["k"].unique())
+
+
+@settings(max_examples=40, deadline=None)
+@given(_key_st, st.integers(min_value=1, max_value=10), st.randoms())
+def test_group_prefix_sum_matches_pandas_any_layout(keys, n_parts, rnd):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.relational import group_prefix_sum
+
+    df = pd.DataFrame(
+        {
+            "k": keys,
+            "o": np.arange(len(keys), dtype=np.int64),
+            "v": np.array([rnd.randint(0, 30) for _ in keys], np.int64),
+        }
+    )
+    got = (
+        group_prefix_sum(
+            rd.from_pandas(df).repartition(min(n_parts, len(df))), "k", "v", "o"
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .assign(ps=lambda d: d.groupby("k")["v"].cumsum())
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert (got["prefix_sum"].to_numpy() == want["ps"].to_numpy()).all()
