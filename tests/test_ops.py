@@ -2029,3 +2029,30 @@ def test_label_centroids_matches_numpy():
         want = np.round(m.mean(axis=0), 6)
         g = got[got["label"] == lab].sort_values("dim")["c"].to_numpy()
         assert np.allclose(g, want, atol=1e-9), lab
+
+
+def test_hll_approx_distinct_bounds_and_layout_invariance():
+    """HLL: (a) the merged sketch is bit-identical regardless of block
+    layout (register max is associative), (b) the estimate lands within
+    the 6-sigma standard-error envelope, (c) duplicates don't move it."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scheduler_ray.stages.sketches import ERROR_SIGMAS, approx_distinct
+
+    n = 50_000
+    p = 14
+    vals = np.arange(n, dtype=np.int64) * 7919 + 13
+    df = pd.DataFrame({"x": vals})
+
+    est1 = approx_distinct(rd.from_pandas(df).repartition(1), "x", p=p)
+    est13 = approx_distinct(rd.from_pandas(df).repartition(13), "x", p=p)
+    assert est1 == est13  # exact layout invariance, not approximate
+
+    sigma = 1.04 / np.sqrt(1 << p)
+    assert abs(est1 - n) <= ERROR_SIGMAS * sigma * n
+
+    dup = pd.DataFrame({"x": np.tile(vals, 3)})
+    est_dup = approx_distinct(rd.from_pandas(dup).repartition(9), "x", p=p)
+    assert est_dup == est1
