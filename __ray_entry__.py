@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": q.q_doc_packing,
         "heavy_hitter_words": q.q_heavy_hitter_words,
         "event_window_distinct": q.q_event_window_distinct,
+        "doc_rollup_counts": q.q_doc_rollup_counts,
         "sessions": q.q_sessions,
         "event_type_stats": q.q_event_type_stats,
         "brand_stats": q.q_brand_stats,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": q.SQL_DOC_PACKING,
         "heavy_hitter_words": q.SQL_HEAVY_HITTER_WORDS,
         "event_window_distinct": q.SQL_EVENT_WINDOW_DISTINCT,
+        "doc_rollup_counts": q.SQL_DOC_ROLLUP_COUNTS,
         "sessions": q.SQL_SESSIONS,
         "event_type_stats": q.SQL_EVENT_TYPE_STATS,
         "brand_stats": q.SQL_BRAND_STATS,

@@ -320,6 +320,47 @@ WHERE rn <= CEIL(n * 1.0 / 10)
 """
 
 
+def q_doc_rollup_counts(sf_dir: str):
+    """ROLLUP(source, lang) counts + char sums — multi-level aggregation
+    derived entirely from the finest-level partials: the corpus streams
+    once into (source, lang) partials; the (source) and () levels
+    re-aggregate those bounded partials, never the raw rows."""
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["source", "lang"], as_index=False).agg(
+            n=("n_chars", "size"), chars=("n_chars", "sum")
+        )
+
+    fine = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+        .to_pandas()
+    )
+    mid = fine.groupby("source", as_index=False)[["n", "chars"]].sum()
+    mid["lang"] = None
+    top = pd.DataFrame(
+        {
+            "source": [None],
+            "lang": [None],
+            "n": [fine["n"].sum()],
+            "chars": [fine["chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out[["source", "lang", "n", "chars"]]
+
+
+SQL_DOC_ROLLUP_COUNTS = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
 def q_heavy_hitter_words(sf_dir: str):
     """Exact top-30 corpus words via the two-pass heavy-hitters sketch
     (``textops.heavy_hitter_words``): per-block Misra-Gries truncation +
