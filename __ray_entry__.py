@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q.q_events_range_join,
         "event_zscore": q.q_event_zscore,
         "doc_sample_stratified": q.q_doc_sample_stratified,
+        "doc_sample_hash": q.q_doc_sample_hash,
+        "doc_tfidf_top": q.q_doc_tfidf_top,
+        "doc_filter_median": q.q_doc_filter_median,
         "doc_packing": q.q_doc_packing,
         "heavy_hitter_words": q.q_heavy_hitter_words,
         "event_window_distinct": q.q_event_window_distinct,
@@ -280,6 +283,9 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": q.SQL_EVENTS_RANGE_JOIN,
         "event_zscore": q.SQL_EVENT_ZSCORE,
         "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
+        "doc_sample_hash": q.SQL_DOC_SAMPLE_HASH,
+        "doc_tfidf_top": q.SQL_DOC_TFIDF_TOP,
+        "doc_filter_median": q.SQL_DOC_FILTER_MEDIAN,
         "doc_packing": q.SQL_DOC_PACKING,
         "heavy_hitter_words": q.SQL_HEAVY_HITTER_WORDS,
         "event_window_distinct": q.SQL_EVENT_WINDOW_DISTINCT,

@@ -1535,3 +1535,125 @@ def sql_kg_index_lookup() -> str:
 SELECT * FROM ({CANONICAL_TRIPLES_SQL})
 WHERE subj LIKE 'https://pids.geoconnex.dev/src5/%'
 """
+
+
+# ------------------------------------------------- round-5 eighth pass:
+# deterministic sampling, TF-IDF salience, distribution-gated filtering
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic hash-based downsampling (``relational.hash_sample``):
+    keep docs whose md5(doc_id) hex prefix < 0x28 (≈ 15.6 %).  Unlike a
+    seeded random sample, membership is a pure function of the KEY — the
+    sample is identical across block layouts, cluster sizes, reruns and
+    resumes, which is what makes it usable as a corpus-curation contract
+    (and expressible as the same rule in SQL)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return rel.hash_sample(docs, "doc_id", max_hex="28")
+
+
+SQL_DOC_SAMPLE_HASH = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+"""
+
+
+def q_doc_tfidf_top(sf_dir: str):
+    """Top-3 salient terms per document by TF-IDF — the curation op
+    behind keyword extraction / topic tagging at corpus scale.
+
+    Ranking contract: (tf DESC, df ASC, token ASC) — an EXACT integer
+    ordering (encoded as one int64 rank key ``tf·(N+1) − df``), so which
+    rows survive the top-k can never depend on last-ulp ``ln`` behavior;
+    the float tfidf value itself is output-only, rounded to 6 like every
+    float the oracle hashes.
+
+    Scale shape: one pass over the text builds (doc, token, tf) partials
+    (exact per block — a document is a single input row, so its tokens
+    never straddle batches); the materialized tf stream feeds both the
+    vocabulary-DF aggregate (bounded by vocabulary size, not corpus
+    size) and the size-gated ``join_auto`` back onto itself; the top-k
+    finish is the bounded-partials ``topk_per_group``.  Raw text shuffles
+    nowhere."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = int(docs.count())
+
+    def tf_explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index("doc_id")["text"].str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        g = s.reset_index().groupby(["doc_id", "text"], as_index=False).size()
+        return g.rename(columns={"text": "t", "size": "tf"})
+
+    # materialized: consumed twice (DF aggregate + join), and re-executing
+    # the tokenizer would re-read every byte of text
+    tf = docs.map_batches(tf_explode, batch_format="pandas").materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("t", as_index=False).size().rename(columns={"size": "df"})
+
+    dfds = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("t")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    joined = rel.join_auto(tf, dfds, on="t")
+
+    def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = b["tf"].astype("int64") * (n_docs + 1) - b["df"].astype("int64")
+        return b
+
+    ranked = joined.map_batches(add_rank, batch_format="pandas")
+    top = rel.topk_per_group(ranked, "doc_id", "rank", 3, tiebreak="t")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        tfv = b["tf"].to_numpy(np.float64)
+        dfv = b["df"].to_numpy(np.float64)
+        out = b[["doc_id", "t"]].copy()
+        out["tf"] = b["tf"].astype("int64")
+        out["df"] = b["df"].astype("int64")
+        out["tfidf"] = np.round(tfv * np.log(n_docs / dfv), 6)
+        return out
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOC_TFIDF_TOP = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok WHERE t <> '' GROUP BY 1, 2
+), df AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id, t, tf, df,
+       ROUND(tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 6) AS tfidf
+FROM tf JOIN df USING (t)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, t) <= 3
+"""
+
+
+def q_doc_filter_median(sf_dir: str):
+    """Distribution-gated quality filter: keep documents at or above
+    their SOURCE's median length — the per-domain adaptive threshold
+    curation op (a global cutoff over-prunes verbose domains and
+    under-prunes terse ones).  Composition: exact per-group quantile
+    from histogram partials (``quantile_per_group`` — the raw rows never
+    shuffle) → size-gated ``join_auto`` of the per-source medians back
+    onto the stream → vectorized filter."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    med = rel.quantile_per_group(docs, "source", "n_chars", 0.5, out_col="m")
+    joined = rel.join_auto(docs, med, on="source")
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["n_chars"] >= b["m"], ["doc_id", "source", "n_chars"]]
+
+    return joined.map_batches(filt, batch_format="pandas")
+
+
+SQL_DOC_FILTER_MEDIAN = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROUND(median(n_chars) OVER (PARTITION BY source), 6) AS m
+  FROM documents)
+WHERE n_chars >= m
+"""

@@ -996,3 +996,38 @@ def quantile_per_group(
         return pd.DataFrame({key: [g[key].iloc[0]], out_col: [round(val, nd)]})
 
     return sorted_map_groups(hist, [key], qtile)
+
+
+def hash_sample(ds: Dataset, on: str, *, max_hex: str = "28", nchars: int = 2) -> Dataset:
+    """Deterministic content-hash downsampling: keep rows whose
+    ``md5(str(key))`` hex prefix sorts below ``max_hex`` — the standard
+    "sample p% of the corpus reproducibly, independent of block layout /
+    cluster size / run order" curation op (a seeded ``random_sample``
+    changes membership whenever the partitioning does; a key-hash rule
+    never does, so reruns, resumes and incremental pulls agree on the
+    sample).
+
+    ``nchars=2`` gives 256 equal-probability buckets; ``max_hex="28"``
+    (0x28 = 40) keeps ≈ 40/256 = 15.6 %.  Lowercase-hex string order ==
+    numeric order, so the rule is expressible identically in SQL
+    (``substr(md5(k), 1, 2) < '28'``) — md5 is the one hash both engines
+    share bit-for-bit, which is why it is the oracle contract here; the
+    per-row digest cost is ~16 B of hashing per key (trivial next to any
+    text kernel).  Embarrassingly parallel: a pure per-batch filter, no
+    shuffle, no state.
+    """
+    import hashlib
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[on].astype(str)
+        mask = np.fromiter(
+            (
+                hashlib.md5(k.encode("utf-8")).hexdigest()[:nchars] < max_hex
+                for k in keys
+            ),
+            dtype=bool,
+            count=len(b),
+        )
+        return b[mask]
+
+    return ds.map_batches(filt, batch_format="pandas")

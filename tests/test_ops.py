@@ -2056,3 +2056,98 @@ def test_hll_approx_distinct_bounds_and_layout_invariance():
     dup = pd.DataFrame({"x": np.tile(vals, 3)})
     est_dup = approx_distinct(rd.from_pandas(dup).repartition(9), "x", p=p)
     assert est_dup == est1
+
+
+def test_hash_sample_layout_invariant_and_matches_md5():
+    """hash_sample membership is a pure function of the key: identical
+    across block layouts, and exactly the md5-hex-prefix rule."""
+    import hashlib
+
+    df = pd.DataFrame({"doc_id": range(400), "payload": [f"p{i}" for i in range(400)]})
+    expect = {
+        i for i in range(400)
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < "28"
+    }
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = set(rel.hash_sample(ds, "doc_id", max_hex="28").to_pandas()["doc_id"])
+        assert got == expect
+    # ~40/256 of 400 ≈ 62; sanity band, not exactness
+    assert 30 <= len(expect) <= 100
+
+
+def test_doc_tfidf_rank_contract_small_frame():
+    """The (tf DESC, df ASC, t ASC) integer rank key picks the same top-3
+    per doc as a pandas reference computing the ordering directly, and
+    the emitted tfidf matches tf·ln(N/df)."""
+    texts = [
+        "a a a b c",          # tf(a)=3
+        "b b c c c d",        # ties: tf(b)=2, tf(c)=3
+        "d d d d a",
+        "e e b a c",
+    ]
+    n = len(texts)
+    rows = []
+    for i, t in enumerate(texts):
+        s = pd.Series(t.split(" "))
+        tf = s.value_counts()
+        for tok, c in tf.items():
+            rows.append({"doc_id": i, "t": tok, "tf": int(c)})
+    tfdf = pd.DataFrame(rows)
+    dfc = tfdf.groupby("t")["doc_id"].nunique().rename("df").reset_index()
+    ref = tfdf.merge(dfc, on="t")
+    ref = ref.sort_values(["tf", "df", "t"], ascending=[False, True, True], kind="mergesort")
+    ref = ref.groupby("doc_id", sort=False).head(3)
+    ref["tfidf"] = np.round(ref["tf"] * np.log(n / ref["df"].astype(float)), 6)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": texts,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        docs.to_parquet(f"{d}/documents.parquet")
+        from scheduler_ray.pipelines import queries as q
+
+        got = q.q_doc_tfidf_top(d).to_pandas()
+    key = lambda f: f.sort_values(["doc_id", "t"]).reset_index(drop=True)
+    g = key(got[["doc_id", "t", "tf", "df", "tfidf"]])
+    r = key(ref[["doc_id", "t", "tf", "df", "tfidf"]].astype({"tf": "int64", "df": "int64"}))
+    pd.testing.assert_frame_equal(g, r, check_dtype=False)
+
+
+def test_filter_median_broadcast_matches_distributed_join():
+    """doc_filter_median's join routes through join_auto: the forced
+    ceiling=1 (partitioned hash join) path must keep the same rows as
+    the broadcast path, and both must match a pandas reference."""
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": [f"s{i % 7}" for i in range(300)],
+            "n_chars": rng.integers(10, 500, 300),
+        }
+    )
+    ref_m = df.groupby("source")["n_chars"].median().rename("m").reset_index()
+    ref = df.merge(ref_m, on="source")
+    ref = set(ref.loc[ref["n_chars"] >= ref["m"], "doc_id"])
+
+    ds = rd.from_pandas(df).repartition(5)
+    med = rel.quantile_per_group(ds, "source", "n_chars", 0.5, out_col="m")
+    med_df = med.to_pandas()
+    for ceiling in (None, 1):
+        joined = rel.join_auto(
+            rd.from_pandas(df).repartition(5),
+            rd.from_pandas(med_df),
+            on="source",
+            broadcast_max_rows=ceiling,
+        )
+        out = joined.to_pandas()
+        got = set(out.loc[out["n_chars"] >= out["m"], "doc_id"])
+        assert got == ref, f"ceiling={ceiling}"
