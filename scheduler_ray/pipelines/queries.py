@@ -1657,3 +1657,22 @@ SELECT doc_id, source, n_chars FROM (
   FROM documents)
 WHERE n_chars >= m
 """
+
+
+def q_doc_ntile_buckets(sf_dir: str):
+    """Per-source length-quartile bucketing (``relational.ntile_per_group``
+    — exact SQL NTILE remainder semantics): the rank-based discretization
+    curation op ("tag every document with its within-domain length
+    quartile" for balanced mixture sampling).  Ranks from one range-sort
+    + segmented cumsum; counts rejoin through size-gated ``join_auto``;
+    bucket assignment is pure vectorized arithmetic."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = rel.ntile_per_group(docs, "source", ["n_chars", "doc_id"], 4)
+    return out.select_columns(["doc_id", "source", "n_chars", "bucket"])
+
+
+SQL_DOC_NTILE_BUCKETS = """
+SELECT doc_id, source, n_chars,
+       NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bucket
+FROM documents
+"""

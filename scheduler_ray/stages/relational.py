@@ -1031,3 +1031,84 @@ def hash_sample(ds: Dataset, on: str, *, max_hex: str = "28", nchars: int = 2) -
         return b[mask]
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def ntile_per_group(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    *,
+    out_col: str = "bucket",
+) -> Dataset:
+    """Distributed per-group NTILE (SQL ``NTILE(k) OVER (PARTITION BY key
+    ORDER BY ...)``) — equal-count discretization ("bucket documents
+    into length quartiles per source"), the rank-based complement of
+    ``quantile_per_group``'s value-based cuts.
+
+    Exact SQL remainder semantics: with n rows and k buckets the first
+    ``n % k`` buckets hold ``n // k + 1`` rows, the rest ``n // k``.
+
+    Scale shape: the composite order key packs into ONE int64 (bounds
+    asserted — the ADVICE narrowing lesson: never pack silently), ranks
+    come from ``group_prefix_sum`` (one range-sort + segmented cumsum +
+    O(#blocks) carry chain — rows never leave their block after the
+    sort), group counts are a bounded partial-aggregate table rejoined
+    through size-gated ``join_auto``, and the bucket formula is pure
+    vectorized arithmetic.  No per-group Python anywhere.
+    """
+    if not (1 <= len(order_cols) <= 2):
+        raise ValueError("order_cols must be 1 or 2 columns")
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if len(order_cols) == 1:
+            b["_ord"] = b[order_cols[0]].astype("int64")
+        else:
+            hi = b[order_cols[0]].to_numpy(np.int64)
+            lo = b[order_cols[1]].to_numpy(np.int64)
+            if len(b) and (
+                hi.min() < 0 or lo.min() < 0 or hi.max() >= 1 << 31 or lo.max() >= 1 << 32
+            ):
+                raise ValueError(
+                    f"ntile_per_group: order cols exceed the 31+32-bit pack "
+                    f"budget (max {hi.max() if len(hi) else 0}/{lo.max() if len(lo) else 0})"
+                )
+            b["_ord"] = (hi << 32) | lo
+        b["_one"] = np.int64(1)
+        return b
+
+    ranked = group_prefix_sum(
+        ds.map_batches(pack, batch_format="pandas"), key, "_one", "_ord", out_col="_rank"
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).size()
+        return g.rename(columns={"size": "_n"})
+
+    counts = (
+        ranked.map_batches(count_partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    joined = join_auto(ranked, counts, on=key)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b.assign(**{out_col: pd.Series([], dtype="int64")}).drop(
+                columns=["_ord", "_one", "_rank", "_n"]
+            )
+        r = b["_rank"].to_numpy(np.int64) - 1  # 0-based rank
+        n = b["_n"].to_numpy(np.int64)
+        q, rem = n // k, n % k
+        big_span = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+        in_big = r < big_span
+        # guard the q==0 division (n < k: every row lands in a big bucket)
+        q_safe = np.maximum(q, 1)
+        bucket = np.where(in_big, r // (q + 1), rem + (r - big_span) // q_safe) + 1
+        out = b.drop(columns=["_ord", "_one", "_rank", "_n"]).copy()
+        out[out_col] = bucket.astype(np.int64)
+        return out
+
+    return joined.map_batches(bucketize, batch_format="pandas")

@@ -2151,3 +2151,41 @@ def test_filter_median_broadcast_matches_distributed_join():
         out = joined.to_pandas()
         got = set(out.loc[out["n_chars"] >= out["m"], "doc_id"])
         assert got == ref, f"ceiling={ceiling}"
+
+
+def test_ntile_per_group_matches_duckdb():
+    """ntile_per_group reproduces SQL NTILE remainder semantics exactly
+    (first n%k buckets get the extra row), including groups smaller than
+    k, across block layouts."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(230),
+            # group sizes vary: g0 tiny (n<k), others uneven remainders
+            "source": ["g0"] * 2 + [f"g{1 + i % 5}" for i in range(228)],
+            "n_chars": rng.integers(0, 50, 230),  # heavy ties
+        }
+    )
+    ref = duckdb.sql(
+        """SELECT doc_id,
+                  NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+                    AS bucket
+           FROM df"""
+    ).df()
+    expect = dict(zip(ref["doc_id"], ref["bucket"]))
+    for parts in (1, 6):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(parts)
+        out = rel.ntile_per_group(ds, "source", ["n_chars", "doc_id"], 4).to_pandas()
+        got = dict(zip(out["doc_id"], out["bucket"]))
+        assert got == expect, f"parts={parts}"
+
+
+def test_ntile_pack_budget_raises():
+    """The composite-key pack refuses out-of-budget order columns instead
+    of silently wrapping (the ADVICE int32-narrowing lesson)."""
+    df = pd.DataFrame({"g": ["a"], "hi": [1 << 31], "lo": [0]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(Exception, match="pack"):
+        rel.ntile_per_group(ds, "g", ["hi", "lo"], 4).materialize()
