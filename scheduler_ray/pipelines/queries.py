@@ -1676,3 +1676,35 @@ SELECT doc_id, source, n_chars,
        NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bucket
 FROM documents
 """
+
+
+def q_doc_mode_lang(sf_dir: str):
+    """Per-source dominant language (per-group MODE with deterministic
+    ties) — the corpus-composition op behind "which language do I route
+    this domain's pipeline through".  Pure composition: per-block
+    (source, lang) count partials → small groupby over the bounded
+    histogram (sources × langs, never the corpus) → ``topk_per_group``
+    k=1 with (cnt DESC, lang ASC) — the argmax is exact and
+    layout-independent; raw rows never shuffle."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return rel.topk_per_group(hist, "source", "cnt", 1, tiebreak="lang")
+
+
+SQL_DOC_MODE_LANG = """
+SELECT source, lang, cnt FROM (
+  SELECT source, lang, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang)
+           AS rn
+  FROM documents GROUP BY source, lang)
+WHERE rn = 1
+"""

@@ -2189,3 +2189,32 @@ def test_ntile_pack_budget_raises():
     ds = rd.from_pandas(df)
     with pytest.raises(Exception, match="pack"):
         rel.ntile_per_group(ds, "g", ["hi", "lo"], 4).materialize()
+
+
+def test_mode_per_group_tie_deterministic():
+    """Per-group MODE (histogram partials + topk_per_group k=1) resolves
+    count ties to the lexicographically smallest value, independent of
+    block layout."""
+    df = pd.DataFrame(
+        {
+            "source": ["s1"] * 4 + ["s2"] * 3,
+            "lang": ["en", "en", "fr", "fr", "de", "zh", "zh"],
+        }
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    for parts in (1, 4):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(parts)
+        hist = (
+            ds.map_batches(
+                lambda b: b.groupby(["source", "lang"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"}),
+                batch_format="pandas",
+            )
+            .groupby(["source", "lang"])
+            .aggregate(_Sum("cnt", alias_name="cnt"))
+        )
+        out = rel.topk_per_group(hist, "source", "cnt", 1, tiebreak="lang").to_pandas()
+        got = dict(zip(out["source"], out["lang"]))
+        assert got == {"s1": "en", "s2": "zh"}, f"parts={parts}"
