@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_median": q.q_doc_filter_median,
         "doc_ntile_buckets": q.q_doc_ntile_buckets,
         "doc_mode_lang": q.q_doc_mode_lang,
+        "doc_split_assign": q.q_doc_split_assign,
         "doc_packing": q.q_doc_packing,
         "heavy_hitter_words": q.q_heavy_hitter_words,
         "event_window_distinct": q.q_event_window_distinct,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_median": q.SQL_DOC_FILTER_MEDIAN,
         "doc_ntile_buckets": q.SQL_DOC_NTILE_BUCKETS,
         "doc_mode_lang": q.SQL_DOC_MODE_LANG,
+        "doc_split_assign": q.SQL_DOC_SPLIT_ASSIGN,
         "doc_packing": q.SQL_DOC_PACKING,
         "heavy_hitter_words": q.SQL_HEAVY_HITTER_WORDS,
         "event_window_distinct": q.SQL_EVENT_WINDOW_DISTINCT,

@@ -1708,3 +1708,22 @@ SELECT source, lang, cnt FROM (
   FROM documents GROUP BY source, lang)
 WHERE rn = 1
 """
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (``relational.hash_split``
+    — md5-prefix buckets, ≈ 80/10/10): membership is a pure function of
+    doc_id, so re-partitioning, rerunning or incrementally extending the
+    corpus can never migrate a document between train and eval (the
+    leakage mode a seeded random split invites)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return rel.hash_split(docs, "doc_id")
+
+
+SQL_DOC_SPLIT_ASSIGN = """
+SELECT doc_id, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

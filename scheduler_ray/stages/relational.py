@@ -1112,3 +1112,46 @@ def ntile_per_group(
         return out
 
     return joined.map_batches(bucketize, batch_format="pandas")
+
+
+def hash_split(
+    ds: Dataset,
+    on: str,
+    cuts: list[tuple[str, str]] | None = None,
+    default_label: str = "test",
+    *,
+    out_col: str = "split",
+) -> Dataset:
+    """Deterministic train/val/test split assignment: label each row by
+    where ``md5(str(key))``'s 2-hex prefix falls among ordered cut
+    points — the dataset-split contract every training pipeline needs to
+    be REPRODUCIBLE (membership is a pure function of the key: stable
+    across block layouts, cluster sizes, reruns and incremental pulls,
+    so a document can never migrate between train and eval when the
+    corpus is re-partitioned — the leakage mode a seeded random split
+    invites).
+
+    ``cuts`` is ordered ``[(label, upper_hex_exclusive), ...]``; the
+    default ``[("train", "cc"), ("val", "e6")]`` + ``"test"`` gives
+    ≈ 80/10/10 (204/26/26 of 256 buckets).  Same md5-prefix rule as
+    ``hash_split``'s filtering sibling ``hash_sample`` — expressible
+    verbatim in SQL as a CASE over ``substr(md5(k), 1, 2)``.  Pure
+    per-batch map, no shuffle, no state.
+    """
+    import hashlib
+
+    cuts = [("train", "cc"), ("val", "e6")] if cuts is None else cuts
+    bounds = [c[1] for c in cuts]
+    labels = np.array([c[0] for c in cuts] + [default_label])
+    if bounds != sorted(bounds):
+        raise ValueError("hash_split cut points must be ascending")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[on].astype(str)
+        pref = [hashlib.md5(k.encode("utf-8")).hexdigest()[:2] for k in keys]
+        idx = np.searchsorted(np.array(bounds), np.array(pref, dtype=object), side="right")
+        out = b.copy()
+        out[out_col] = labels[idx]
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")

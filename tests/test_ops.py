@@ -2218,3 +2218,27 @@ def test_mode_per_group_tie_deterministic():
         out = rel.topk_per_group(hist, "source", "cnt", 1, tiebreak="lang").to_pandas()
         got = dict(zip(out["source"], out["lang"]))
         assert got == {"s1": "en", "s2": "zh"}, f"parts={parts}"
+
+
+def test_hash_split_boundaries_proportions_and_layout():
+    """hash_split: exclusive-upper cut semantics (a key whose prefix
+    equals the cut lands in the NEXT bucket), ~80/10/10 proportions,
+    and layout-invariant assignment."""
+    import hashlib
+
+    # find keys sitting exactly on the cut points
+    on_cc = next(i for i in range(10000) if hashlib.md5(str(i).encode()).hexdigest()[:2] == "cc")
+    on_e6 = next(i for i in range(10000) if hashlib.md5(str(i).encode()).hexdigest()[:2] == "e6")
+    df = pd.DataFrame({"doc_id": range(2000)})
+    ref = {}
+    for i in df["doc_id"]:
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        ref[i] = "train" if p < "cc" else ("val" if p < "e6" else "test")
+    for parts in (1, 8):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = rel.hash_split(ds, "doc_id").to_pandas()
+        got = dict(zip(out["doc_id"], out["split"]))
+        assert got == ref, f"parts={parts}"
+    assert ref[on_cc] == "val" and ref[on_e6] == "test"
+    frac_train = sum(v == "train" for v in ref.values()) / len(ref)
+    assert 0.75 < frac_train < 0.85
