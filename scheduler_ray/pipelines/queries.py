@@ -1727,3 +1727,34 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+# epoch constant for centering event timestamps before correlation —
+# translation-invariant mathematically, and it removes the catastrophic
+# cancellation a raw ~1.7e9-second epoch induces in the closed form
+_CORR_EPOCH_C = 1767225600.0  # 2026-01-01
+
+
+def q_event_corr(sf_dir: str):
+    """Per-user correlation between event value and event time
+    (``relational.corr_per_group`` — distributed co-moment partials):
+    "is this user's engagement trending?" as a keys-cardinality
+    aggregate.  Timestamps are unit-pinned to epoch-µs then centered
+    (corr is translation-invariant; centering keeps the closed form
+    numerically equal to DuckDB's stable online corr at 4 decimals —
+    verified exact over all 150 sf0.01 users before wiring)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy("datetime64[us]").astype("int64") / 1e6 - _CORR_EPOCH_C
+        return pd.DataFrame({"user_id": b["user_id"], "value": b["value"], "t": t})
+
+    return rel.corr_per_group(
+        ev.map_batches(prep, batch_format="pandas"), "user_id", "value", "t", out_col="corr_vt"
+    )
+
+
+SQL_EVENT_CORR = """
+SELECT user_id, ROUND(corr(value, EPOCH(ts)), 4) AS corr_vt
+FROM events GROUP BY user_id
+"""

@@ -1155,3 +1155,62 @@ def hash_split(
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def corr_per_group(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    *,
+    out_col: str = "corr",
+    nd: int = 4,
+) -> Dataset:
+    """Per-group Pearson correlation (SQL ``corr(x, y) GROUP BY key``) —
+    the CO-moment aggregation pattern (``zscore_per_group`` covers
+    single-variable moments): per-block ``(n, Σx, Σy, Σx², Σy², Σxy)``
+    partials, a keys-cardinality groupby over those six numbers, and a
+    vectorized closed-form finish.  The raw rows never shuffle and
+    nothing driver-side scales with the corpus.
+
+    Numerical contract: the closed form ``(nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²))``
+    is algebraically DuckDB's ``covar_samp/(stddev·stddev)`` but
+    catastrophically cancels when a column's magnitude dwarfs its
+    variance (epoch timestamps!) — CENTER such columns first
+    (correlation is translation-invariant; see ``q_event_corr``).
+    Groups with zero variance yield NaN (SQL NULL).
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(np.float64)
+        y = b[y_col].to_numpy(np.float64)
+        t = pd.DataFrame(
+            {key: b[key], "_n": 1, "_sx": x, "_sy": y, "_sxx": x * x, "_syy": y * y, "_sxy": x * y}
+        )
+        return t.groupby(key, as_index=False).sum()
+
+    from .canonicalize import sorted_agg_by
+
+    # sorted_agg_by, not Ray's groupby aggregate: sum is associative over
+    # per-block partials, and the hash-shuffle reduce costs ~4× more wall
+    # on bounded partial tables (the round-4 sorted-agg migration lesson)
+    sums = sorted_agg_by(
+        ds.map_batches(partial, batch_format="pandas"),
+        key,
+        {c: "sum" for c in ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["_n"].to_numpy(np.float64)
+        sx, sy = b["_sx"].to_numpy(np.float64), b["_sy"].to_numpy(np.float64)
+        sxx, syy, sxy = (
+            b["_sxx"].to_numpy(np.float64),
+            b["_syy"].to_numpy(np.float64),
+            b["_sxy"].to_numpy(np.float64),
+        )
+        var = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(var > 0, (n * sxy - sx * sy) / np.sqrt(var), np.nan)
+        return pd.DataFrame({key: b[key], out_col: np.round(r, nd)})
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -2242,3 +2242,36 @@ def test_hash_split_boundaries_proportions_and_layout():
     assert ref[on_cc] == "val" and ref[on_e6] == "test"
     frac_train = sum(v == "train" for v in ref.values()) / len(ref)
     assert 0.75 < frac_train < 0.85
+
+
+def test_corr_per_group_matches_duckdb_and_degenerate():
+    """corr_per_group matches DuckDB's corr at 4 decimals across block
+    layouts; zero-variance and n=1 groups yield NaN (SQL NULL)."""
+    import duckdb
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i % 6}" for i in range(n)],
+            "x": rng.normal(50, 10, n),
+            "y": rng.normal(0, 1, n),
+        }
+    )
+    # inject correlation in some groups, a constant-x group, a singleton
+    df.loc[df["g"] == "g1", "y"] = df.loc[df["g"] == "g1", "x"] * 0.5 + rng.normal(0, 1, (df["g"] == "g1").sum())
+    df.loc[df["g"] == "g2", "x"] = 7.0  # zero variance
+    df = pd.concat([df, pd.DataFrame({"g": ["solo"], "x": [1.0], "y": [2.0]})], ignore_index=True)
+
+    ref = duckdb.sql("SELECT g, ROUND(corr(x, y), 4) AS corr FROM df GROUP BY g").df()
+    expect = dict(zip(ref["g"], ref["corr"]))
+    for parts in (1, 7):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(parts)
+        out = rel.corr_per_group(ds, "g", "x", "y").to_pandas()
+        got = dict(zip(out["g"], out["corr"]))
+        assert set(got) == set(expect)
+        for k in expect:
+            if pd.isna(expect[k]):
+                assert pd.isna(got[k]), f"{k} parts={parts}"
+            else:
+                assert got[k] == expect[k], f"{k} parts={parts}: {got[k]} vs {expect[k]}"
