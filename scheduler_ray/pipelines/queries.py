@@ -1758,3 +1758,39 @@ SQL_EVENT_CORR = """
 SELECT user_id, ROUND(corr(value, EPOCH(ts)), 4) AS corr_vt
 FROM events GROUP BY user_id
 """
+
+
+def q_event_lag_delta(sf_dir: str):
+    """Per-user change detection: each event's value delta vs the user's
+    PREVIOUS event (``relational.lag_per_group`` — distributed window
+    navigation).  One range-sort; only 2×#blocks border rows reach the
+    driver; first-in-group rows (SQL NULL lag) are filtered so the
+    oracle never compares NaN against NULL."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    lagged = rel.lag_per_group(
+        ev, "user_id", ["ts", "event_id"], "value", out_col="prev_value"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["prev_value"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "prev_value": np.round(b["prev_value"], 6),
+                "delta": np.round(b["value"] - b["prev_value"], 6),
+            }
+        )
+
+    return lagged.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENT_LAG_DELTA = """
+SELECT event_id, user_id, ROUND(prev_value, 6) AS prev_value,
+       ROUND(value - prev_value, 6) AS delta
+FROM (SELECT event_id, user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events)
+WHERE prev_value IS NOT NULL
+"""

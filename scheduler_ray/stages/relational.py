@@ -1214,3 +1214,81 @@ def corr_per_group(
         return pd.DataFrame({key: b[key], out_col: np.round(r, nd)})
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def lag_per_group(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "lag",
+) -> Dataset:
+    """Distributed per-group LAG (SQL ``LAG(v) OVER (PARTITION BY key
+    ORDER BY ...)``) — window NAVIGATION, the primitive behind deltas /
+    time-since-last / change detection per entity.
+
+    Scale shape (the ``group_prefix_sum`` border-carry pattern): one
+    range-sort on (key, *order) — materialized so both passes see
+    identical blocks — then a per-block vectorized shift within key
+    segments.  Only each block's FIRST-row identity and LAST row's
+    (key, value) ship to the driver (2 × #blocks rows): a block whose
+    first key continues the previous block's last key receives that
+    block's last value as the first row's lag.  Rows never leave their
+    block after the sort; the first row of each group lags NaN (SQL
+    NULL).  ``order_cols`` must be unique per key (add a tiebreak id,
+    exactly like SQL's deterministic-LAG requirement).
+    """
+    from .canonicalize import _drop_empty_blocks
+
+    srt = _drop_empty_blocks(ds.sort([key] + order_cols)).materialize()
+
+    def _ident(df: pd.DataFrame, i: int) -> tuple:
+        vals = [df[key].iloc[i]]
+        for c in order_cols:
+            v = df[c].iloc[i]
+            vals.append(v.item() if hasattr(v, "item") else v)
+        return tuple(vals)
+
+    def summary(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"_which": pd.Series([], dtype="int64"), "_blob": []})
+        import pickle
+
+        first = _ident(df, 0)
+        last = (df[key].iloc[-1], float(df[value_col].iloc[-1]))
+        return pd.DataFrame(
+            {"_which": [0, 1], "_blob": [pickle.dumps(first), pickle.dumps(last)]}
+        )
+
+    import pickle
+
+    border = srt.map_batches(summary, batch_format="pandas", batch_size=None).to_pandas()
+    rows = [pickle.loads(b) for b in border["_blob"]]
+    # blocks arrive in sorted order: rows = [first0, last0, first1, last1, ...]
+    offs: dict = {}
+    prev_last = None
+    for i in range(0, len(rows), 2):
+        first, last = rows[i], rows[i + 1]
+        if prev_last is not None and prev_last[0] == first[0]:
+            offs[first] = prev_last[1]
+        prev_last = last
+    off_ref = ray.put(offs)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        if not len(df):
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy(np.float64)
+        lag = np.full(len(df), np.nan)
+        same = k[1:] == k[:-1]
+        lag[1:][same] = v[:-1][same]
+        head = ray.get(off_ref).get(_ident(df, 0))
+        if head is not None:
+            lag[0] = head
+        out[out_col] = lag
+        return out
+
+    return srt.map_batches(apply, batch_format="pandas", batch_size=None)

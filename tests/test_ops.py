@@ -2275,3 +2275,35 @@ def test_corr_per_group_matches_duckdb_and_degenerate():
                 assert pd.isna(got[k]), f"{k} parts={parts}"
             else:
                 assert got[k] == expect[k], f"{k} parts={parts}: {got[k]} vs {expect[k]}"
+
+
+def test_lag_per_group_matches_duckdb_across_layouts():
+    """lag_per_group == SQL LAG with a deterministic tiebreak, including
+    duplicate order values and group runs straddling block boundaries;
+    first-in-group rows lag NaN."""
+    import duckdb
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "id": range(n),
+            "g": [f"u{i % 5}" for i in range(n)],
+            "o": rng.integers(0, 40, n),  # heavy duplicate order values
+            "v": rng.normal(0, 1, n),
+        }
+    )
+    ref = duckdb.sql(
+        """SELECT id, LAG(v) OVER (PARTITION BY g ORDER BY o, id) AS lag FROM df"""
+    ).df()
+    expect = dict(zip(ref["id"], ref["lag"]))
+    for parts in (1, 13):  # 13 blocks force many straddling group runs
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=9)).repartition(parts)
+        out = rel.lag_per_group(ds, "g", ["o", "id"], "v").to_pandas()
+        got = dict(zip(out["id"], out["lag"]))
+        assert set(got) == set(expect)
+        for k in expect:
+            if pd.isna(expect[k]):
+                assert pd.isna(got[k]), f"id={k} parts={parts}"
+            else:
+                assert got[k] == expect[k], f"id={k} parts={parts}"
