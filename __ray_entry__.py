@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_zscore": q.q_event_zscore,
         "event_corr": q.q_event_corr,
         "event_lag_delta": q.q_event_lag_delta,
+        "doc_langs_concat": q.q_doc_langs_concat,
         "doc_sample_stratified": q.q_doc_sample_stratified,
         "doc_sample_hash": q.q_doc_sample_hash,
         "doc_tfidf_top": q.q_doc_tfidf_top,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "event_zscore": q.SQL_EVENT_ZSCORE,
         "event_corr": q.SQL_EVENT_CORR,
         "event_lag_delta": q.SQL_EVENT_LAG_DELTA,
+        "doc_langs_concat": q.SQL_DOC_LANGS_CONCAT,
         "doc_sample_stratified": q.SQL_DOC_SAMPLE_STRATIFIED,
         "doc_sample_hash": q.SQL_DOC_SAMPLE_HASH,
         "doc_tfidf_top": q.SQL_DOC_TFIDF_TOP,

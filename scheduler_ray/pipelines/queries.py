@@ -1794,3 +1794,29 @@ FROM (SELECT event_id, user_id, value,
       FROM events)
 WHERE prev_value IS NOT NULL
 """
+
+
+def q_doc_langs_concat(sf_dir: str):
+    """Per-source ordered list aggregation (SQL ``string_agg(DISTINCT
+    lang ORDER BY lang)``) — the "summarize a group as a deterministic
+    delimited list" op.  Composition: distributed DISTINCT over the
+    bounded (source, lang) pairs (``sorted_agg_by`` with empty aggs —
+    the raw corpus never shuffles, only distinct partials) →
+    ``sorted_map_groups`` join into one sorted comma-list per source."""
+    from ..stages.canonicalize import sorted_agg_by, sorted_map_groups
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    dist = sorted_agg_by(docs, ["source", "lang"], {})
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "langs": [",".join(sorted(g["lang"]))]}
+        )
+
+    return sorted_map_groups(dist, ["source"], concat)
+
+
+SQL_DOC_LANGS_CONCAT = """
+SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs
+FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY source
+"""

@@ -2307,3 +2307,33 @@ def test_lag_per_group_matches_duckdb_across_layouts():
                 assert pd.isna(got[k]), f"id={k} parts={parts}"
             else:
                 assert got[k] == expect[k], f"id={k} parts={parts}"
+
+
+def test_langs_concat_ordered_and_layout_invariant():
+    """Ordered list aggregation: sorted, deduplicated, comma-joined per
+    group — identical across block layouts."""
+    import tempfile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": ["x"] * 60,
+            "lang": ["zh", "en", "en", "de"] * 15,
+            "source": [f"s{i % 3}" for i in range(60)],
+            "n_chars": [1] * 60,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(f"{d}/documents.parquet")
+        from scheduler_ray.pipelines import queries as q
+
+        out = q.q_doc_langs_concat(d).to_pandas().sort_values("source")
+        # s0 sees zh,en (positions 0,1 mod 4 → doc 0:zh,1:en,... across 3 sources)
+        got = dict(zip(out["source"], out["langs"]))
+        import duckdb
+
+        ref = duckdb.sql(
+            "SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs "
+            "FROM (SELECT DISTINCT source, lang FROM df) GROUP BY source"
+        ).df()
+        assert got == dict(zip(ref["source"], ref["langs"]))
